@@ -1,0 +1,116 @@
+"""Public-API contract tests (reference parity surface).
+
+Checks the channel-first shape contract, output dtypes, validation errors
+and the XLA fallback — the behaviours documented in the reference's
+module/function docstrings (``flash_attention/flash_attention.py``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tf_flash_attention_tpu as fa
+from tf_flash_attention_tpu.block_sizes import BlockConfig
+from tf_flash_attention_tpu.utils.dtypes import l_dtype, neg_inf_approx
+
+BLOCKS = BlockConfig(128, 128, 128, 128, 128, 128)
+
+
+def data(dtype=jnp.float32, batch=(2, 3), d=8, v_d=5, q_seq=(40,), k_seq=(52,)):
+    rng = np.random.default_rng(0)
+    t = lambda s: jnp.asarray(rng.uniform(-1, 1, s), dtype)
+    return t(batch + (d,) + q_seq), t(batch + (d,) + k_seq), t(batch + (v_d,) + k_seq)
+
+
+def test_output_shapes_channel_first():
+    Q, K, V = data()
+    O, l, m = fa.full_1d(Q, K, V, returning_l_m=True, block_config=BLOCKS)
+    assert O.shape == (2, 3, 5, 40)   # batch_shape + (v_d,) + q_seq
+    assert l.shape == (2, 3, 40)
+    assert m.shape == (2, 3, 40)
+
+
+def test_output_shapes_2d():
+    Q, K, V = data(q_seq=(6, 8), k_seq=(12, 4))
+    O, l, m = fa.full_2d(Q, K, V, returning_l_m=True, block_config=BLOCKS)
+    assert O.shape == (2, 3, 5, 6, 8)
+    assert l.shape == (2, 3, 6, 8)
+    assert m.shape == (2, 3, 6, 8)
+
+
+def test_returning_l_m_default_false():
+    Q, K, V = data()
+    O = fa.full_1d(Q, K, V, block_config=BLOCKS)
+    assert isinstance(O, jax.Array)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.float16])
+def test_lm_dtypes(dtype):
+    """l is float32 for half dtypes else input dtype; m is input dtype
+    (flash_attention.h:181-185)."""
+    Q, K, V = data(dtype)
+    O, l, m = fa.causal_1d(Q, K, V, sync_mode="none_front", returning_l_m=True,
+                           block_config=BLOCKS)
+    assert O.dtype == dtype
+    assert l.dtype == l_dtype(dtype)
+    assert m.dtype == dtype
+
+
+def test_float64_falls_back_to_xla():
+    jax.config.update("jax_enable_x64", True)
+    try:
+        Q, K, V = data(jnp.float64)
+        O, l, m = fa.causal_1d(Q, K, V, sync_mode="none_front", returning_l_m=True)
+        assert O.dtype == jnp.float64
+        assert l.dtype == jnp.float64
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_xla_and_pallas_agree():
+    Q, K, V = data()
+    kw = dict(window_size=5, log2_stride_size=1, is_causal=True, sync_mode="scale_front")
+    o1 = fa.local_1d(Q, K, V, implementation="pallas", block_config=BLOCKS, **kw)
+    o2 = fa.local_1d(Q, K, V, implementation="xla", **kw)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5, atol=1e-5)
+
+
+def test_neg_inf_approx_values():
+    """Bit-pattern parity with TypeUtil<T>::GetNegInfApprox (type_util.h)."""
+    assert neg_inf_approx(jnp.float16) == np.frombuffer(b"\xfa\xfa", np.float16)[0]
+    assert neg_inf_approx(jnp.float32) == np.frombuffer(b"\xfa" * 4, np.float32)[0]
+    assert neg_inf_approx(jnp.float64) == np.frombuffer(b"\xfa" * 8, np.float64)[0]
+    # bf16 0xFAFA == the f32 with bit pattern 0xFAFA0000
+    bf16_exact = float(np.frombuffer(b"\x00\x00\xfa\xfa", np.float32)[0])
+    assert neg_inf_approx(jnp.bfloat16) == bf16_exact
+
+
+def test_validation_errors():
+    Q, K, V = data()
+    with pytest.raises(ValueError):
+        fa.flash_attention(Q, K, V, rule=fa.FullRule(), seq_dims=3)
+    with pytest.raises(ValueError):
+        fa.causal_1d(Q, K.astype(jnp.bfloat16), V, sync_mode="none_front")
+    with pytest.raises(ValueError):
+        fa.causal_1d(Q[:, :1], K, V, sync_mode="none_front")  # batch mismatch
+    with pytest.raises(ValueError):
+        fa.causal_1d(Q, K[..., :7, :], V, sync_mode="none_front")  # d mismatch
+    with pytest.raises(ValueError):
+        # K/V sequence mismatch
+        fa.causal_1d(Q, K[..., :-1], V, sync_mode="none_front")
+    with pytest.raises(ValueError):
+        fa.causal_1d(Q, K, V, sync_mode="bogus")
+
+
+def test_jit_and_grad_compose():
+    Q, K, V = data()
+
+    @jax.jit
+    def loss(Q, K, V):
+        return jnp.sum(fa.causal_1d(Q, K, V, sync_mode="none_front",
+                                    block_config=BLOCKS) ** 2)
+
+    g = jax.grad(loss)(Q, K, V)
+    assert g.shape == Q.shape
+    assert np.isfinite(np.asarray(g, np.float32)).all()

@@ -1,0 +1,117 @@
+"""Kernel block-size selection from the VMEM budget.
+
+TPU analog of the reference's shared-memory-budget solver
+(``DecideConfigurationForForward`` / ``DetermineConfigurationForBackward``,
+``flash_attention.cu:1977-2067``; fixed ``Br`` choice at
+``flash_attention.h:200``).  On TPU the constraints are:
+
+* the lane dimension is 128, so block sizes on the kv axis (which forms the
+  lane dimension of the scores tile) are multiples of 128;
+* sublane granularity is 8 (fp32) / 16 (bf16), so q-axis blocks are kept at
+  multiples of 128 as well for MXU efficiency;
+* all live tiles (Q, double-buffered K/V, scores, fp32 accumulators) must
+  fit in ~16 MB of VMEM per core; we solve against a conservative budget to
+  leave the Mosaic pipeline room for double buffering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+__all__ = ["BlockConfig", "choose_block_config", "pad_to", "LANE", "MIN_BLOCK"]
+
+LANE = 128
+MIN_BLOCK = 128
+# Conservative solver budget (bytes); real VMEM is ~16 MiB on v5e but the
+# pipeline needs headroom for double-buffered input windows.
+DEFAULT_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockConfig:
+    """Static tile sizes for the forward and backward kernels."""
+
+    block_q: int
+    block_kv: int
+    block_q_dq: int
+    block_kv_dq: int
+    block_q_dkv: int
+    block_kv_dkv: int
+
+    def __post_init__(self):
+        for name in ("block_q", "block_kv", "block_q_dq", "block_kv_dq",
+                     "block_q_dkv", "block_kv_dkv"):
+            v = getattr(self, name)
+            if v % LANE:
+                raise ValueError(f"{name}={v} must be a multiple of {LANE}")
+
+
+def _fwd_vmem_bytes(bq: int, bk: int, dp: int, vdp: int, itemsize: int) -> int:
+    q = bq * dp * itemsize
+    kv = 2 * bk * (dp + vdp) * itemsize  # double-buffered input windows
+    scores = bq * bk * 4
+    acc = bq * vdp * 4
+    stats = 2 * bq * LANE * 4
+    out = bq * vdp * itemsize
+    return q + kv + scores + acc + stats + out
+
+
+def _bwd_vmem_bytes(bq: int, bk: int, dp: int, vdp: int, itemsize: int) -> int:
+    # dKV kernel is the heavier one: k, v resident; q, o, do stream per step;
+    # scores + p + ds in fp32; dk, dv fp32 accumulators.
+    kv = bk * (dp + vdp) * itemsize
+    stream = 2 * bq * (dp + 2 * vdp) * itemsize
+    mats = 3 * bq * bk * 4
+    accs = bk * (dp + vdp) * 4
+    stats = 3 * bq * LANE * 4
+    return kv + stream + mats + accs + stats
+
+
+def choose_block_config(
+    q_len: int,
+    k_len: int,
+    d_pad: int,
+    v_d_pad: int,
+    dtype,
+    vmem_budget: int = DEFAULT_VMEM_BUDGET,
+) -> BlockConfig:
+    """Pick the largest tile sizes that fit the VMEM budget.
+
+    Mirrors the role of the reference's smem solver: ``Br`` fixed by a
+    hardware transaction size, ``Bc`` solved from the remaining budget
+    (``flash_attention.cu:1977-2012``).  Here both axes are solved from a
+    candidate ladder, clamped to the (padded) sequence lengths.
+    """
+    itemsize = jnp.dtype(dtype).itemsize
+    q_cap = max(MIN_BLOCK, pad_to(min(q_len, 2048), LANE))
+    k_cap = max(MIN_BLOCK, pad_to(min(k_len, 2048), LANE))
+
+    def solve(cost_fn):
+        best = (MIN_BLOCK, MIN_BLOCK)
+        candidates = [1024, 512, 256, 128]
+        for bq in candidates:
+            if bq > q_cap:
+                continue
+            for bk in candidates:
+                if bk > k_cap:
+                    continue
+                if cost_fn(bq, bk, d_pad, v_d_pad, itemsize) <= vmem_budget:
+                    if bq * bk > best[0] * best[1] or (
+                        bq * bk == best[0] * best[1] and bk > best[1]
+                    ):
+                        best = (bq, bk)
+        return best
+
+    fq, fk = solve(_fwd_vmem_bytes)
+    bq, bk = solve(_bwd_vmem_bytes)
+    return BlockConfig(
+        block_q=fq, block_kv=fk,
+        block_q_dq=bq, block_kv_dq=bk,
+        block_q_dkv=bq, block_kv_dkv=bk,
+    )

@@ -20,13 +20,17 @@ import dataclasses
 
 import jax.numpy as jnp
 
-__all__ = ["BlockConfig", "choose_block_config", "pad_to", "LANE", "MIN_BLOCK"]
+__all__ = ["BlockConfig", "choose_block_config", "pad_to", "LANE", "MIN_BLOCK", "VMEM_LIMIT"]
 
 LANE = 128
 MIN_BLOCK = 128
 # Conservative solver budget (bytes); real VMEM is ~16 MiB on v5e but the
 # pipeline needs headroom for double-buffered input windows.
 DEFAULT_VMEM_BUDGET = 10 * 1024 * 1024
+# Mosaic scoped-VMEM ceiling requested for the attention kernels.  The
+# default Mosaic limit is 16 MiB; v5e physically has more, and the large
+# (2048x1024) score tiles need the headroom.
+VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def pad_to(n: int, m: int) -> int:
@@ -35,7 +39,14 @@ def pad_to(n: int, m: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class BlockConfig:
-    """Static tile sizes for the forward and backward kernels."""
+    """Static tile sizes for the forward and backward kernels.
+
+    ``block_kv_compute`` sub-tiles the kv block inside one grid step with an
+    unrolled loop, so the MXU matmul of sub-tile j+1 can overlap the VPU
+    softmax chain of sub-tile j (the analog of the two-level
+    ``block_k_major``/``block_k`` tiling in JAX's production flash kernels).
+    ``None`` means no sub-tiling.
+    """
 
     block_q: int
     block_kv: int
@@ -43,6 +54,7 @@ class BlockConfig:
     block_kv_dq: int
     block_q_dkv: int
     block_kv_dkv: int
+    block_kv_compute: int | None = None
 
     def __post_init__(self):
         for name in ("block_q", "block_kv", "block_q_dq", "block_kv_dq",
@@ -50,6 +62,11 @@ class BlockConfig:
             v = getattr(self, name)
             if v % LANE:
                 raise ValueError(f"{name}={v} must be a multiple of {LANE}")
+        if self.block_kv_compute is not None:
+            if self.block_kv_compute % LANE or self.block_kv % self.block_kv_compute:
+                raise ValueError(
+                    f"block_kv_compute={self.block_kv_compute} must be a multiple of "
+                    f"{LANE} and divide block_kv={self.block_kv}")
 
 
 def _fwd_vmem_bytes(bq: int, bk: int, dp: int, vdp: int, itemsize: int) -> int:

@@ -79,6 +79,28 @@ class MaskRule:
         """
         raise NotImplementedError
 
+    def tile_fully_visible(
+        self,
+        pack: SyncPack,
+        q_coord_lo,
+        q_coord_hi,
+        k_coord_lo,
+        k_coord_hi,
+        q_flat_lo,
+        q_flat_hi,
+        k_flat_lo,
+        k_flat_hi,
+    ):
+        """Conservative "every element visible" test (vectorised over k tiles).
+
+        True only when *all* (q, k) pairs in the tile provably satisfy the
+        rule — such tiles skip mask construction inside the kernels
+        entirely (a fast path the CUDA reference does not have: it runs
+        ``Check`` per element on every live tile).  Must only ever
+        under-approximate; False just means "build the mask".
+        """
+        raise NotImplementedError
+
 
 @dataclasses.dataclass(frozen=True)
 class FullRule(MaskRule):
@@ -93,6 +115,10 @@ class FullRule(MaskRule):
                   q_flat_lo, q_flat_hi, k_flat_lo, k_flat_hi):
         return k_flat_lo == k_flat_lo  # all-True
 
+    def tile_fully_visible(self, pack, q_coord_lo, q_coord_hi, k_coord_lo,
+                           k_coord_hi, q_flat_lo, q_flat_hi, k_flat_lo, k_flat_hi):
+        return k_flat_lo == k_flat_lo  # all-True
+
 
 @dataclasses.dataclass(frozen=True)
 class CausalRule(MaskRule):
@@ -105,6 +131,11 @@ class CausalRule(MaskRule):
                   q_flat_lo, q_flat_hi, k_flat_lo, k_flat_hi):
         # IsSkipped: max_Q_order < min_K_order  =>  live iff the opposite.
         return k_flat_lo <= q_flat_hi
+
+    def tile_fully_visible(self, pack, q_coord_lo, q_coord_hi, k_coord_lo,
+                           k_coord_hi, q_flat_lo, q_flat_hi, k_flat_lo, k_flat_hi):
+        # every q order >= every k order
+        return k_flat_hi <= q_flat_lo
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,6 +191,24 @@ class LocalRule(MaskRule):
         if self.is_causal:
             live = live & (k_flat_lo <= q_flat_hi)
         return live
+
+    def tile_fully_visible(self, pack, q_coord_lo, q_coord_hi, k_coord_lo,
+                           k_coord_hi, q_flat_lo, q_flat_hi, k_flat_lo, k_flat_hi):
+        if self.log2_stride_size:
+            # stride divisibility can never hold for every pair in a tile
+            # spanning more than one coordinate
+            return k_flat_lo != k_flat_lo  # all-False
+        sw = self.strided_window_size
+        full = None
+        for d in range(pack.ndim):
+            # every pair in-window: |qc-kc| <= sw-1 for ALL q,k in the tile
+            dim_full = (k_coord_lo[d] >= q_coord_hi[d] - (sw - 1)) & (
+                k_coord_hi[d] <= q_coord_lo[d] + (sw - 1)
+            )
+            full = dim_full if full is None else (full & dim_full)
+        if self.is_causal:
+            full = full & (k_flat_hi <= q_flat_lo)
+        return full
 
 
 def make_rule(kind: str, **kwargs) -> MaskRule:

@@ -22,12 +22,18 @@ fused XLA op.  Gradient math (``:1899-1940``):
 ``P = exp(scale·QKᵀ − m)/l`` (masked → 0), ``dV += Pᵀ·dO``,
 ``dS = P ∘ (dO·Vᵀ − D) · scale``, ``dQ += dS·K``, ``dK += dSᵀ·Q``.
 
+Masked entries need no explicit re-select: they hold the finite
+``neg_inf_approx`` so ``exp(NEG − m)`` underflows to exactly 0 for live
+rows, and fully-masked / padded rows carry ``l = 0``, which the
+``1/l → 0`` normaliser turns into an all-zero ``P`` row.
+
 ``(l, m, D)`` ride in one packed fp32 "stats" tensor of shape
 ``(B, q_pad, 8)`` (lanes 0..2) so row-aligned scalars satisfy the TPU
 block-shape rules without burning a full 128-lane tensor per quantity.
 
 Both kernels reuse the trace-time block-skip schedule (dead tiles are never
-loaded); the dK/dV kernel uses its transpose.
+loaded) and its interior/partial tile classing (interior tiles skip mask
+construction); the dK/dV kernel uses the transposed schedule.
 """
 
 from __future__ import annotations
@@ -41,38 +47,55 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..block_sizes import BlockConfig, LANE, pad_to
+from ..block_sizes import BlockConfig, LANE, VMEM_LIMIT, pad_to
 from ..mask_rules import MaskRule
 from ..schedule import build_schedule
 from ..sync_modes import SyncPack
 from .forward import STATS_LANES
-from .kernel_common import NEG_INF_F32, build_tile_mask, dot_precision
+from .kernel_common import (
+    LOG2E, NEG_INF_F32, build_tile_mask, dot_precision,
+)
 
 __all__ = ["flash_backward"]
 
 
-def _recompute_p(q, k, m_row, l_row, mask, scale):
-    """Recompute normalised probabilities for one (bq, bk) tile (fp32)."""
+def _recompute_p(q, k, m2_row, l_row, mask, scale):
+    """Recompute normalised probabilities for one (bq, bk) tile.
+
+    Same log2-domain evaluation as the forward kernel: ``m2_row`` is the
+    stored row max pre-multiplied by log2(e) (and clamped to the masking
+    floor) on the XLA side.  ``exp2`` runs at bf16 for 16-bit inputs.
+    """
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=dot_precision(q.dtype),
-    ) * jnp.float32(scale)
+    ) * jnp.float32(scale * LOG2E)
     if mask is not None:
         s = jnp.where(mask, s, NEG_INF_F32)
-    p = jnp.exp(s - m_row)
-    if mask is not None:
-        p = jnp.where(mask, p, 0.0)
-    l_safe = jnp.where(l_row == 0.0, 1.0, l_row)
-    return p / l_safe
+    p = jnp.exp2(s - m2_row)
+    l_inv = jnp.where(l_row == 0.0, 0.0, 1.0 / l_row)
+    return p * l_inv
+
+
+def _tile_mask_or_none(masked, pack, rule, qb, kb, block_q, block_kv,
+                       q_len, k_len, q_len_padded, k_len_padded):
+    if not masked:
+        return None
+    q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+    k_pos = kb * block_kv + jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
+    return build_tile_mask(
+        pack, rule, q_pos, k_pos, q_len, k_len, q_len_padded, k_len_padded
+    )
 
 
 def _dq_kernel(
-    table_ref, counts_ref,
+    table_ref, counts_ref, needs_ref,
     q_ref, k_ref, v_ref, do_ref, stats_ref,
     dq_ref,
     dq_acc,
     *,
     pack, rule, scale, q_len, k_len, q_len_padded, k_len_padded, num_steps,
+    has_interior, has_partial,
 ):
     qi = pl.program_id(1)
     step = pl.program_id(2)
@@ -83,14 +106,10 @@ def _dq_kernel(
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    @pl.when(step < counts_ref[qi])
-    def _compute():
+    def update(masked: bool):
         kb = table_ref[qi, step]
-        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        k_pos = kb * block_kv + jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-        mask = build_tile_mask(
-            pack, rule, q_pos, k_pos, q_len, k_len, q_len_padded, k_len_padded
-        )
+        mask = _tile_mask_or_none(masked, pack, rule, qi, kb, block_q, block_kv,
+                                  q_len, k_len, q_len_padded, k_len_padded)
         stats = stats_ref[0]
         l_row = stats[:, 0:1]
         m_row = stats[:, 1:2]
@@ -109,18 +128,35 @@ def _dq_kernel(
             precision=dot_precision(k_ref.dtype),
         )
 
+    in_bounds = step < counts_ref[qi]
+    if has_partial and has_interior:
+        needs = needs_ref[qi, step] == 1
+
+        @pl.when(in_bounds & needs)
+        def _masked():
+            update(True)
+
+        @pl.when(in_bounds & jnp.logical_not(needs))
+        def _interior():
+            update(False)
+    else:
+        @pl.when(in_bounds)
+        def _only():
+            update(has_partial)
+
     @pl.when(step == num_steps - 1)
     def _finalize():
         dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
-    table_ref, counts_ref,
+    table_ref, counts_ref, needs_ref,
     k_ref, v_ref, q_ref, do_ref, stats_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *,
     pack, rule, scale, q_len, k_len, q_len_padded, k_len_padded, num_steps,
+    has_interior, has_partial,
 ):
     ki = pl.program_id(1)
     step = pl.program_id(2)
@@ -132,14 +168,10 @@ def _dkv_kernel(
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    @pl.when(step < counts_ref[ki])
-    def _compute():
+    def update(masked: bool):
         qb = table_ref[ki, step]
-        q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        k_pos = ki * block_kv + jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-        mask = build_tile_mask(
-            pack, rule, q_pos, k_pos, q_len, k_len, q_len_padded, k_len_padded
-        )
+        mask = _tile_mask_or_none(masked, pack, rule, qb, ki, block_q, block_kv,
+                                  q_len, k_len, q_len_padded, k_len_padded)
         stats = stats_ref[0]
         l_row = stats[:, 0:1]
         m_row = stats[:, 1:2]
@@ -165,6 +197,22 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
             precision=dot_precision(q_ref.dtype),
         )
+
+    in_bounds = step < counts_ref[ki]
+    if has_partial and has_interior:
+        needs = needs_ref[ki, step] == 1
+
+        @pl.when(in_bounds & needs)
+        def _masked():
+            update(True)
+
+        @pl.when(in_bounds & jnp.logical_not(needs))
+        def _interior():
+            update(False)
+    else:
+        @pl.when(in_bounds)
+        def _only():
+            update(has_partial)
 
     @pl.when(step == num_steps - 1)
     def _finalize():
@@ -201,9 +249,13 @@ def flash_backward(
     # D = rowsum(dO ∘ O): one fused elementwise+reduce XLA op, shared by
     # both kernels (the reference computes it per-tile on device, :1882-1891).
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-    stats = jnp.stack(
-        [l.astype(jnp.float32), m.astype(jnp.float32), delta], axis=-1
-    )
+    # m is stored/published in the natural-log domain; the kernels work in
+    # the log2 domain, so pre-multiply by log2(e) here.  The clamp keeps
+    # fully-masked rows at the masking floor (m·log2e would otherwise fall
+    # below NEG_INF_F32 and turn exp2(NEG - m2) into +inf).
+    m2 = jnp.maximum(m.astype(jnp.float32) * jnp.float32(LOG2E),
+                     jnp.float32(NEG_INF_F32))
+    stats = jnp.stack([l.astype(jnp.float32), m2, delta], axis=-1)
     stats = jnp.pad(stats, ((0, 0), (0, 0), (0, STATS_LANES - 3)))
 
     def padded(x, seq_to, feat_to=None):
@@ -213,6 +265,7 @@ def flash_backward(
 
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=VMEM_LIMIT,
     )
 
     # ---- dQ kernel ----
@@ -227,13 +280,15 @@ def flash_backward(
         q_len=q_len, k_len=k_len,
         q_len_padded=q_pad_len, k_len_padded=k_pad_len,
         num_steps=sched.num_steps,
+        has_interior=bool((sched.live & ~sched.partial).any()),
+        has_partial=bool(sched.partial.any()),
     )
-    qi_spec = lambda b, qi, s, t, c: (b, qi, 0)
-    kv_spec = lambda b, qi, s, t, c: (b, t[qi, s], 0)
+    qi_spec = lambda b, qi, s, t, c, n: (b, qi, 0)
+    kv_spec = lambda b, qi, s, t, c, n: (b, t[qi, s], 0)
     dq = pl.pallas_call(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B, sched.num_q_blocks, sched.num_steps),
             in_specs=[
                 pl.BlockSpec((1, block_q, d_pad), qi_spec),
@@ -249,6 +304,7 @@ def flash_backward(
         compiler_params=compiler_params,
         interpret=interpret,
     )(jnp.asarray(sched.kv_table), jnp.asarray(sched.kv_counts),
+      jnp.asarray(sched.needs_mask),
       padded(q, q_pad_len, d_pad), padded(k, k_pad_len, d_pad),
       padded(v, k_pad_len, v_d_pad), padded(do, q_pad_len, v_d_pad),
       padded(stats, q_pad_len))[0]
@@ -265,13 +321,15 @@ def flash_backward(
         q_len=q_len, k_len=k_len,
         q_len_padded=q_pad2, k_len_padded=k_pad2,
         num_steps=sched_t.num_steps,
+        has_interior=bool((sched_t.live & ~sched_t.partial).any()),
+        has_partial=bool(sched_t.partial.any()),
     )
-    ki_spec = lambda b, ki, s, t, c: (b, ki, 0)
-    qb_spec = lambda b, ki, s, t, c: (b, t[ki, s], 0)
+    ki_spec = lambda b, ki, s, t, c, n: (b, ki, 0)
+    qb_spec = lambda b, ki, s, t, c, n: (b, t[ki, s], 0)
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B, sched_t.num_q_blocks, sched_t.num_steps),
             in_specs=[
                 pl.BlockSpec((1, block_kv2, d_pad), ki_spec),
@@ -296,6 +354,7 @@ def flash_backward(
         compiler_params=compiler_params,
         interpret=interpret,
     )(jnp.asarray(sched_t.kv_table), jnp.asarray(sched_t.kv_counts),
+      jnp.asarray(sched_t.needs_mask),
       padded(k, k_pad2, d_pad), padded(v, k_pad2, v_d_pad),
       padded(q, q_pad2, d_pad), padded(do, q_pad2, v_d_pad),
       padded(stats, q_pad2))

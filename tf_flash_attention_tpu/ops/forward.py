@@ -15,7 +15,16 @@ Block skipping is compiled in: the trace-time schedule (``schedule.py``)
 provides a per-q-block table of live kv blocks consumed via scalar
 prefetch, so masked-out tiles are never fetched from HBM (the reference
 instead tests ``IsSkipped`` per tile on device,
-``flash_attention.cu:865-871``).
+``flash_attention.cu:865-871``).  Live tiles are further classed
+interior/partial: interior tiles take a branch with no mask construction
+at all (pure MXU + softmax), a fast path the reference lacks (it runs
+``Check`` per element on every live tile, ``flash_attention.cu:915-947``).
+
+Numeric contract (``flash_attention.cu:740-745``, ``:1008-1016``): masked
+logits take the finite ``neg_inf_approx`` value; ``exp(NEG - m)`` then
+underflows to exactly 0 for any row with a real max, so no second select
+is needed; rows whose final ``m`` never left the masking floor are zeroed
+(``O = 0, l = 0``) in the finalize step.
 """
 
 from __future__ import annotations
@@ -29,11 +38,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..block_sizes import BlockConfig, LANE, pad_to
+from ..block_sizes import BlockConfig, LANE, VMEM_LIMIT, pad_to
 from ..mask_rules import MaskRule
 from ..schedule import build_schedule
 from ..sync_modes import SyncPack
-from .kernel_common import NEG_INF_F32, build_tile_mask, dot_precision
+from .kernel_common import (
+    INV_LOG2E, LOG2E, NEG_INF_F32, build_tile_mask, dot_precision,
+)
 
 __all__ = ["flash_forward"]
 
@@ -44,10 +55,10 @@ STATS_LANES = 8
 
 
 def _fwd_kernel(
-    table_ref, counts_ref,          # scalar prefetch
-    q_ref, k_ref, v_ref,            # inputs
-    o_ref, stats_ref,               # outputs
-    acc_ref, m_scratch, l_scratch,  # VMEM scratch
+    table_ref, counts_ref, needs_ref,   # scalar prefetch
+    q_ref, k_ref, v_ref,                # inputs
+    o_ref, stats_ref,                   # outputs
+    acc_ref, m_scratch, l_scratch,      # VMEM scratch
     *,
     pack: SyncPack,
     rule: MaskRule,
@@ -57,6 +68,9 @@ def _fwd_kernel(
     q_len_padded: int,
     k_len_padded: int,
     num_steps: int,
+    has_interior: bool,
+    has_partial: bool,
+    kv_compute: int,
 ):
     qi = pl.program_id(1)
     step = pl.program_id(2)
@@ -69,53 +83,87 @@ def _fwd_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(step < counts_ref[qi])
-    def _compute():
-        kb = table_ref[qi, step]
+    def update(masked: bool):
         q = q_ref[0]
-        k = k_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=dot_precision(q.dtype),
-        )
-        s = s * jnp.float32(scale)
+        # Unrolled sub-tile loop over the kv block: the S-matmul of sub-tile
+        # j+1 has no data dependence on the softmax chain of sub-tile j, so
+        # the scheduler can overlap MXU and VPU work across sub-tiles.
+        for j in range(block_kv // kv_compute):
+            sl = slice(j * kv_compute, (j + 1) * kv_compute)
+            s = jax.lax.dot_general(
+                q, k_ref[0, sl, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q.dtype),
+            )
+            # log2-domain logits: one multiply covers 1/sqrt(d) and log2(e)
+            s = s * jnp.float32(scale * LOG2E)
+            if masked:
+                kb = table_ref[qi, step]
+                q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, 1), 0)
+                k_pos = kb * block_kv + j * kv_compute + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, kv_compute), 1)
+                mask = build_tile_mask(
+                    pack, rule, q_pos, k_pos, q_len, k_len,
+                    q_len_padded, k_len_padded,
+                )
+                if mask is not None:
+                    s = jnp.where(mask, s, NEG_INF_F32)
 
-        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        k_pos = kb * block_kv + jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-        mask = build_tile_mask(
-            pack, rule, q_pos, k_pos, q_len, k_len, q_len_padded, k_len_padded
-        )
-        if mask is not None:
-            s = jnp.where(mask, s, NEG_INF_F32)
+            m_prev = m_scratch[:, :1]
+            l_prev = l_scratch[:, :1]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            # Masked entries hold exactly NEG_INF_F32; for any row with a
+            # real max, exp2(NEG - m) underflows to 0, so no re-select is
+            # needed.  Fully-masked rows (m still NEG) are repaired in
+            # _finalize.
+            p = jnp.exp2(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+            l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
-        m_prev = m_scratch[:, :1]
-        l_prev = l_scratch[:, :1]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        if mask is not None:
-            p = jnp.where(mask, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, sl, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=dot_precision(v_ref.dtype),
+            )
+            acc_ref[...] = acc_ref[...] * alpha + pv
 
-        pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=dot_precision(v_ref.dtype),
-        )
-        acc_ref[...] = acc_ref[...] * alpha + pv
+    in_bounds = step < counts_ref[qi]
+    if has_partial and has_interior:
+        needs = needs_ref[qi, step] == 1
+
+        @pl.when(in_bounds & needs)
+        def _masked():
+            update(True)
+
+        @pl.when(in_bounds & jnp.logical_not(needs))
+        def _interior():
+            update(False)
+    else:
+        @pl.when(in_bounds)
+        def _only():
+            update(has_partial)
 
     @pl.when(step == num_steps - 1)
     def _finalize():
         l_col = l_scratch[:, :1]
         m_col = m_scratch[:, :1]
+        # Rows that never saw an unmasked entry: O = 0, l = 0,
+        # m = neg-inf approx (flash_attention.cu:1008-1016).
+        dead = m_col <= NEG_INF_F32
+        l_col = jnp.where(dead, 0.0, l_col)
         l_safe = jnp.where(l_col == 0.0, 1.0, l_col)
-        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        o = acc_ref[...] / l_safe
+        o = jnp.where(dead, 0.0, o)
+        o_ref[0] = o.astype(o_ref.dtype)
+        # public m is in the natural-log domain
+        m_pub = jnp.where(dead, NEG_INF_F32, m_col * jnp.float32(INV_LOG2E))
         block_q = acc_ref.shape[0]
         stats_ref[0] = jnp.concatenate(
-            [l_col, m_col, jnp.zeros((block_q, STATS_LANES - 2), jnp.float32)],
+            [l_col, m_pub, jnp.zeros((block_q, STATS_LANES - 2), jnp.float32)],
             axis=1,
         )
 
@@ -160,8 +208,6 @@ def flash_forward(
 
     sched = build_schedule(pack, rule, block_q, block_kv)
     num_steps = sched.num_steps
-    table = jnp.asarray(sched.kv_table)
-    counts = jnp.asarray(sched.kv_counts)
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -173,6 +219,9 @@ def flash_forward(
         q_len_padded=q_pad,
         k_len_padded=k_pad,
         num_steps=num_steps,
+        has_interior=bool((sched.live & ~sched.partial).any()),
+        has_partial=bool(sched.partial.any()),
+        kv_compute=min(config.block_kv_compute or block_kv, block_kv),
     )
 
     grid = (B, sched.num_q_blocks, num_steps)
@@ -181,16 +230,16 @@ def flash_forward(
         jax.ShapeDtypeStruct((B, q_pad, STATS_LANES), jnp.float32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda b, qi, s, t, c: (b, qi, 0)),
-            pl.BlockSpec((1, block_kv, d_pad), lambda b, qi, s, t, c: (b, t[qi, s], 0)),
-            pl.BlockSpec((1, block_kv, v_d_pad), lambda b, qi, s, t, c: (b, t[qi, s], 0)),
+            pl.BlockSpec((1, block_q, d_pad), lambda b, qi, s, t, c, n: (b, qi, 0)),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, qi, s, t, c, n: (b, t[qi, s], 0)),
+            pl.BlockSpec((1, block_kv, v_d_pad), lambda b, qi, s, t, c, n: (b, t[qi, s], 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, v_d_pad), lambda b, qi, s, t, c: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, STATS_LANES), lambda b, qi, s, t, c: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, v_d_pad), lambda b, qi, s, t, c, n: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, STATS_LANES), lambda b, qi, s, t, c, n: (b, qi, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, v_d_pad), jnp.float32),
@@ -205,9 +254,11 @@ def flash_forward(
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(table, counts, qp, kp, vp)
+    )(jnp.asarray(sched.kv_table), jnp.asarray(sched.kv_counts),
+      jnp.asarray(sched.needs_mask), qp, kp, vp)
 
     return (
         o[:, :q_len, :v_d],

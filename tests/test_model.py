@@ -1,0 +1,71 @@
+"""Flagship transformer tests (single-device and sharded train step)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tf_flash_attention_tpu.mask_rules import LocalRule
+from tf_flash_attention_tpu.models.transformer import (
+    ModelConfig,
+    forward,
+    init_params,
+    loss_fn,
+    make_sharded_train_step,
+    param_shardings,
+    train_step,
+)
+from tf_flash_attention_tpu.parallel.mesh import make_mesh
+
+CFG = ModelConfig(vocab=128, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                  d_head=16, d_ff=128, max_seq=64)
+
+
+def test_forward_shapes_and_finite():
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    tokens = jnp.zeros((2, 64), jnp.int32)
+    logits = forward(CFG, params, tokens)
+    assert logits.shape == (2, 64, 128)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_local_attention_model():
+    cfg = ModelConfig(vocab=128, d_model=64, n_layers=1, n_heads=4, n_kv_heads=4,
+                      d_head=16, d_ff=128, max_seq=64,
+                      rule=LocalRule(window_size=8, is_causal=True))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    logits = forward(cfg, params, jnp.zeros((1, 64), jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_train_step_decreases_loss():
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    optimizer = optax.adamw(1e-2)
+    opt_state = optimizer.init(params)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 65), 0, CFG.vocab)
+    losses = []
+    for _ in range(3):
+        loss, params, opt_state = train_step(
+            CFG, params, opt_state, tokens, optimizer=optimizer)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_train_step():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh((2, 4), ("data", "model"), jax.devices()[:8])
+    cfg = ModelConfig(vocab=128, d_model=64, n_layers=2, n_heads=8, n_kv_heads=8,
+                      d_head=16, d_ff=128, max_seq=64)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    optimizer = optax.adamw(1e-2)
+    opt_state = optimizer.init(params)
+    params = jax.device_put(params, param_shardings(cfg, mesh))
+    step = make_sharded_train_step(cfg, mesh, optimizer)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 65), 0, cfg.vocab)
+    loss, params, opt_state = step(params, opt_state, tokens)
+    assert np.isfinite(float(loss))
+    # second step runs from donated/sharded state
+    loss2, params, opt_state = step(params, opt_state, tokens)
+    assert float(loss2) < float(loss) + 1.0

@@ -32,8 +32,7 @@ import numpy as np
 
 from .block_sizes import BlockConfig, choose_block_config, pad_to, LANE
 from .mask_rules import CausalRule, FullRule, LocalRule, MaskRule
-from .ops.backward import flash_backward
-from .ops.forward import flash_forward
+from .ops.attend import AttendParams, attend
 from .ops.reference import build_mask, reference_attention_flat
 from .sync_modes import SyncPack, make_sync_pack
 
@@ -42,18 +41,6 @@ __all__ = [
     "full_2d", "causal_2d", "local_2d",
     "flash_attention",
 ]
-
-
-@dataclasses.dataclass(frozen=True)
-class _AttendParams:
-    """Hashable static configuration for one attention call."""
-
-    pack: SyncPack
-    rule: MaskRule
-    config: BlockConfig
-    scale: float
-    implementation: str
-    interpret: bool
 
 
 def _default_implementation(dtype) -> str:
@@ -81,46 +68,6 @@ def _public_lm(in_dtype, l32, m32):
     l_pub = l32.astype(l_dtype(in_dtype))
     m_pub = jnp.maximum(m32, neg_inf_approx(in_dtype)).astype(in_dtype)
     return l_pub, m_pub
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _attend(q, k, v, params: _AttendParams):
-    o, l32, m32 = flash_forward(
-        q, k, v,
-        pack=params.pack, rule=params.rule, config=params.config,
-        scale=params.scale, interpret=params.interpret,
-    )
-    l, m = _public_lm(q.dtype, l32, m32)
-    return o, l, m
-
-
-def _attend_fwd(q, k, v, params: _AttendParams):
-    o, l32, m32 = flash_forward(
-        q, k, v,
-        pack=params.pack, rule=params.rule, config=params.config,
-        scale=params.scale, interpret=params.interpret,
-    )
-    l, m = _public_lm(q.dtype, l32, m32)
-    # Residuals keep the fp32 softmax stats for the recompute-based
-    # backward (same saved-tensor set as the reference,
-    # flash_attention.py:374-390, at full precision).
-    return (o, l, m), (q, k, v, o, l32, m32)
-
-
-def _attend_bwd(params: _AttendParams, residuals, cotangents):
-    q, k, v, o, l32, m32 = residuals
-    do = cotangents[0]
-    # Gradients propagated from l and m are ignored: they are caches for
-    # the backward computation (reference: flash_attention.py:382-384).
-    dq, dk, dv = flash_backward(
-        q, k, v, o, l32, m32, do,
-        pack=params.pack, rule=params.rule, config=params.config,
-        scale=params.scale, interpret=params.interpret,
-    )
-    return dq, dk, dv
-
-
-_attend.defvjp(_attend_fwd, _attend_bwd)
 
 
 def flash_attention(
@@ -187,12 +134,12 @@ def flash_attention(
         mask = jnp.asarray(build_mask(pack, rule).reshape(q_len, k_len))
         o, l, m = reference_attention_flat(qf, kf, vf, mask, scale=scale)
     elif implementation == "pallas":
-        params = _AttendParams(
+        params = AttendParams(
             pack=pack, rule=rule, config=block_config,
-            scale=float(scale), implementation=implementation,
-            interpret=bool(interpret),
+            scale=float(scale), interpret=bool(interpret),
         )
-        o, l, m = _attend(qf, kf, vf, params)
+        o, l32, m32 = attend(qf, kf, vf, params)
+        l, m = _public_lm(Q.dtype, l32, m32)
     else:
         raise ValueError(f"unknown implementation {implementation!r}")
 

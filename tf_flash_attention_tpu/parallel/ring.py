@@ -1,0 +1,170 @@
+"""Ring attention: context parallelism over ICI.
+
+Sequence/context parallelism for sequences beyond one chip's HBM — a
+first-class TPU component with no reference counterpart (the reference
+scales sequence length only by tiling + block skipping on one GPU,
+SURVEY.md §5).  KV shards rotate around the ``context`` mesh axis via
+``jax.lax.ppermute`` (point-to-point on the ICI ring) while every chip
+runs the local Pallas flash kernel on the shard currently in front of it;
+XLA's latency-hiding scheduler overlaps the permute with the compute.
+
+The cross-shard combine is the *same online (m, l, O) merge* the kernel
+uses across KV tiles (and that the reference implements across blocks at
+``flash_attention.cu:974-1035``) — the ring is the inter-chip level of the
+identical recurrence:
+
+    m' = max(m, m_s);  l' = e^(m-m')·l + e^(m_s-m')·l_s
+    O' = (e^(m-m')·l·O + e^(m_s-m')·l_s·O_s) / l'
+
+Causal masking decomposes exactly over aligned equal shards: a KV shard
+from an earlier ring position is fully visible (full-rule kernel, no mask
+work), the diagonal shard is locally causal, and later shards are skipped
+outright (l = 0 contribution) — the shard-level analog of the block-skip
+schedule.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..block_sizes import BlockConfig, LANE, choose_block_config, pad_to
+from ..mask_rules import CausalRule, FullRule
+from ..ops.forward import flash_forward
+from ..sync_modes import make_sync_pack
+from ..utils.dtypes import MASK_VALUE_F32
+from .mesh import AXIS_CONTEXT, AXIS_DATA, AXIS_MODEL
+
+__all__ = ["ring_attention_local", "ring_flash_attention"]
+
+
+def ring_attention_local(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    axis_size: int,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    block_config: Optional[BlockConfig] = None,
+    interpret: bool = False,
+):
+    """Ring attention body (call inside ``shard_map``).
+
+    ``q, k, v``: local shards ``(B, s, d)`` where the global sequence is
+    sharded equally (and identically for q and kv) over ``axis_name``.
+    Returns the local output shard ``(B, s, v_d)``.
+    """
+    B, s, d = q.shape
+    v_d = v.shape[-1]
+    if block_config is None:
+        block_config = choose_block_config(s, s, pad_to(d, LANE), pad_to(d, LANE), q.dtype)
+    pack = make_sync_pack("none_front", (s,), (s,))
+    my = jax.lax.axis_index(axis_name)
+
+    def full_part(args):
+        k_cur, v_cur = args
+        return flash_forward(q, k_cur, v_cur, pack=pack, rule=FullRule(),
+                             config=block_config, scale=scale, interpret=interpret)
+
+    def diag_part(args):
+        k_cur, v_cur = args
+        return flash_forward(q, k_cur, v_cur, pack=pack, rule=CausalRule(),
+                             config=block_config, scale=scale, interpret=interpret)
+
+    def skip_part(args):
+        return (
+            jnp.zeros((B, s, v_d), jnp.float32),
+            jnp.zeros((B, s), jnp.float32),
+            jnp.full((B, s), MASK_VALUE_F32, jnp.float32),
+        )
+
+    o = jnp.zeros((B, s, v_d), jnp.float32)
+    l = jnp.zeros((B, s), jnp.float32)
+    m = jnp.full((B, s), MASK_VALUE_F32, jnp.float32)
+    k_cur, v_cur = k, v
+
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    for step in range(axis_size):
+        src = (my - step) % axis_size
+        if causal:
+            branch = jnp.where(src == my, 1, jnp.where(src > my, 2, 0))
+            o_s, l_s, m_s = jax.lax.switch(
+                branch, [full_part, diag_part, skip_part], (k_cur, v_cur)
+            )
+        else:
+            o_s, l_s, m_s = full_part((k_cur, v_cur))
+        o_s = o_s.astype(jnp.float32)
+
+        # online merge (identical recurrence to the in-kernel KV-tile merge)
+        m_new = jnp.maximum(m, m_s)
+        a = jnp.exp(m - m_new)
+        b_w = jnp.exp(m_s - m_new)
+        l_new = a * l + b_w * l_s
+        l_safe = jnp.where(l_new == 0.0, 1.0, l_new)
+        o = (a * l)[..., None] * o + (b_w * l_s)[..., None] * o_s
+        o = o / l_safe[..., None]
+        # keep o in "normalised" form; fold back for next merge via l
+        l = l_new
+        m = m_new
+
+        if step + 1 < axis_size:
+            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+
+    return o.astype(q.dtype)
+
+
+def ring_flash_attention(
+    mesh: Mesh,
+    *,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    block_config: Optional[BlockConfig] = None,
+    data_axis: str = AXIS_DATA,
+    model_axis: str = AXIS_MODEL,
+    context_axis: str = AXIS_CONTEXT,
+    interpret: Optional[bool] = None,
+):
+    """Build a jitted context-parallel ring-attention callable.
+
+    Input layout ``(batch, heads, seq, head_dim)``: batch on ``data``,
+    heads on ``model``, sequence on ``context`` (2D/3D meshes supported;
+    missing axes may have size 1).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    axis_size = int(mesh.shape[context_axis])
+    spec = P(data_axis, model_axis, context_axis, None)
+
+    def local_fn(q, k, v):
+        b, h, s, d = q.shape
+        o = ring_attention_local(
+            q.reshape(b * h, s, d),
+            k.reshape(b * h, s, d),
+            v.reshape(b * h, s, v.shape[-1]),
+            axis_name=context_axis,
+            axis_size=axis_size,
+            causal=causal,
+            scale=scale,
+            block_config=block_config,
+            interpret=interpret,
+        )
+        return o.reshape(b, h, s, -1)
+
+    return jax.jit(
+        shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )
+    )

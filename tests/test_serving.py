@@ -1,0 +1,109 @@
+"""Serving-slice tests: paged KV cache, decode kernel, batching engine.
+
+Golden check: greedy tokens from the continuous-batching engine (paged
+cache + decode kernel) must equal greedy tokens from naively re-running
+the dense model forward on the growing sequence.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_flash_attention_tpu.models.transformer import ModelConfig, forward, init_params
+from tf_flash_attention_tpu.serving.decode import paged_decode_attention
+from tf_flash_attention_tpu.serving.engine import DecodeEngine, EngineConfig
+from tf_flash_attention_tpu.serving.kv_cache import (
+    KVCacheConfig,
+    PageAllocator,
+    PagedKVCache,
+    write_prompt,
+)
+
+MCFG = ModelConfig(vocab=64, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                   d_head=16, d_ff=128, max_seq=256, dtype=jnp.float32)
+
+
+def test_paged_decode_matches_dense():
+    rng = np.random.default_rng(0)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=64, n_pages=16,
+                        max_seqs=2, max_pages_per_seq=4, quantized=False,
+                        dtype=jnp.float32)
+    cache = PagedKVCache.create(cfg)
+    alloc = PageAllocator(cfg.n_pages - 1)
+    t = 150
+    k = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    pages = alloc.alloc(0, -(-t // cfg.page_size))
+    cache = write_prompt(cache, cfg, 0, np.array(pages), k, v)
+    q = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32)), jnp.float32)
+    o = paged_decode_attention(q, cache, cfg)
+
+    qg = np.asarray(q[0]).reshape(2, 2, 32)
+    s = np.einsum("hgd,htd->hgt", qg, np.asarray(k)) / np.sqrt(32)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("hgt,htd->hgd", p, np.asarray(v)).reshape(4, 32)
+    np.testing.assert_allclose(np.asarray(o[0]), ref, rtol=2e-5, atol=2e-5)
+    # empty slot yields zeros
+    np.testing.assert_array_equal(np.asarray(o[1]), 0.0)
+
+
+def test_int8_cache_roundtrip_accuracy():
+    rng = np.random.default_rng(1)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=64, n_pages=8,
+                        max_seqs=1, max_pages_per_seq=2, quantized=True)
+    cache = PagedKVCache.create(cfg)
+    alloc = PageAllocator(cfg.n_pages - 1)
+    t = 100
+    k = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    cache = write_prompt(cache, cfg, 0, np.array(alloc.alloc(0, 2)), k, v)
+    q = jnp.asarray(rng.uniform(-1, 1, (1, 4, 32)), jnp.float32)
+    o = paged_decode_attention(q, cache, cfg)
+    qg = np.asarray(q[0]).reshape(2, 2, 32)
+    s = np.einsum("hgd,htd->hgt", qg, np.asarray(k)) / np.sqrt(32)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("hgt,htd->hgd", p, np.asarray(v)).reshape(4, 32)
+    err = np.abs(np.asarray(o[0]) - ref).max()
+    assert err < 2e-2, err  # int8 quantization tolerance
+
+
+def greedy_dense(params, prompt, n_new):
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits = forward(MCFG, params, jnp.asarray([toks], jnp.int32))
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks
+
+
+@pytest.mark.parametrize("quantized", [False])
+def test_engine_matches_dense_greedy(quantized):
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_seqs=3, page_size=64, n_pages=32,
+                        max_pages_per_seq=4, quantized_kv=quantized,
+                        prefill_buckets=(64,))
+    eng = DecodeEngine(MCFG, params, ecfg)
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9], [10, 11, 12, 13]]
+    rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    results = eng.run(max_steps=50)
+    for rid, prompt in zip(rids, prompts):
+        want = greedy_dense(params, prompt, 6)
+        assert results[rid] == want, (results[rid], want)
+
+
+def test_engine_continuous_admission():
+    """More requests than slots: later requests admitted as slots free."""
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_seqs=2, page_size=64, n_pages=16,
+                        max_pages_per_seq=4, quantized_kv=False,
+                        prefill_buckets=(64,))
+    eng = DecodeEngine(MCFG, params, ecfg)
+    rids = [eng.submit([i + 1, i + 2], max_new_tokens=4) for i in range(5)]
+    results = eng.run(max_steps=100)
+    assert len(results) == 5
+    for rid in rids:
+        assert len(results[rid]) == 2 + 4

@@ -1,0 +1,194 @@
+"""Paged decode attention kernel (q_len = 1, INT8 KV, GQA).
+
+The serving-path kernel from the BASELINE north star: one new query token
+per sequence attends to its paged (optionally INT8) KV cache.  Design
+points:
+
+* the page table is a **scalar-prefetch argument and the kv ``BlockSpec``
+  index map reads it**, so non-contiguous pages stream through the normal
+  Pallas input pipeline with automatic double buffering — no hand-rolled
+  DMA machinery (contrast with the manual ``MultiPageAsyncCopyDescriptor``
+  approach; the trace-time-table trick is the same one the training
+  kernels use for block skipping);
+* steps past a sequence's page count re-map to its last page — consecutive
+  identical block indices are not re-fetched, so dead steps cost no
+  bandwidth — and their compute is predicated off;
+* INT8 payloads are dequantized per page inside the kernel
+  (``int8 -> bf16 * per-token scale``), halving decode HBM traffic, which
+  is the binding resource (decode is bandwidth-bound);
+* GQA: queries are grouped per KV head, one ``(group, d) @ (d, page)``
+  matmul per page.
+
+Sequence lengths are runtime values (continuous batching), so skipping is
+driven by prefetched per-slot page counts rather than the trace-time
+schedule the training kernels use.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..block_sizes import LANE, VMEM_LIMIT, pad_to
+from ..ops.kernel_common import LOG2E, NEG_INF_F32
+from .kv_cache import KVCacheConfig, PagedKVCache
+
+__all__ = ["paged_decode_attention"]
+
+
+def _decode_kernel(
+    tables_ref, counts_ref, lengths_ref,          # scalar prefetch
+    q_ref, k_ref, ks_ref, v_ref, vs_ref,          # inputs
+    o_ref,                                        # output
+    acc_ref, m_scratch, l_scratch,                # scratch
+    *,
+    page_size: int,
+    max_pages: int,
+    scale: float,
+    quantized: bool,
+):
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+
+    @pl.when(p == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF_F32)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(p < counts_ref[b])
+    def _compute():
+        q = q_ref[0, 0]                       # (g_pad, d)
+        k = k_ref[0, 0]                       # (page, d)
+        v = v_ref[0, 0]
+        if quantized:
+            k = k.astype(jnp.bfloat16) * ks_ref[0, 0].astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16) * vs_ref[0, 0].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q.astype(k.dtype), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                      # (g_pad, page)
+        s = s * jnp.float32(scale * LOG2E)
+        token_pos = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, page_size), 1)
+        s = jnp.where(token_pos < lengths_ref[b], s, NEG_INF_F32)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        pweights = jnp.exp2(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(pweights, axis=1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+        pv = jax.lax.dot_general(
+            pweights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(p == max_pages - 1)
+    def _finalize():
+        l_col = l_scratch[:, :1]
+        l_safe = jnp.where(l_col == 0.0, 1.0, l_col)
+        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+
+
+def paged_decode_attention(
+    q: jax.Array,
+    cache: PagedKVCache,
+    cfg: KVCacheConfig,
+    *,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """One decode step of attention against the paged cache.
+
+    ``q``: (max_seqs, n_q_heads, head_dim) — the current token's queries.
+    Returns ``o`` of the same shape.  Sequences with length 0 yield zeros.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    max_seqs, n_q_heads, d = q.shape
+    n_kv = cfg.n_kv_heads
+    if n_q_heads % n_kv:
+        raise ValueError(f"q heads {n_q_heads} not a multiple of kv heads {n_kv}")
+    g = n_q_heads // n_kv
+    g_pad = max(8, pad_to(g, 8))
+    d_pad = cfg.head_dim_store
+    assert cache.k_pages.shape[-1] == d_pad, (cache.k_pages.shape, d_pad)
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+
+    qg = q.reshape(max_seqs, n_kv, g, d)
+    qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - g), (0, d_pad - d)))
+
+    counts = -(-cache.lengths // cfg.page_size)
+    max_pages = cfg.max_pages_per_seq
+    quantized = cfg.quantized
+
+    def page_idx(b, h, p, t, c, L):
+        lp = jnp.maximum(0, jnp.minimum(p, c[b] - 1))
+        return (h, t[b, lp], 0, 0)
+
+    def q_idx(b, h, p, t, c, L):
+        return (b, h, 0, 0)
+
+    kernel = functools.partial(
+        _decode_kernel,
+        page_size=cfg.page_size,
+        max_pages=max_pages,
+        scale=float(scale),
+        quantized=quantized,
+    )
+
+    scales_dtype = jnp.float32
+    k_scales = cache.k_scales
+    v_scales = cache.v_scales
+    if not quantized:
+        # dummy 1-page scale operands keep the kernel signature uniform
+        k_scales = jnp.ones((n_kv, 1, cfg.page_size, 1), scales_dtype)
+        v_scales = k_scales
+
+    def scales_idx(b, h, p, t, c, L):
+        if quantized:
+            return page_idx(b, h, p, t, c, L)
+        return (h, 0, 0, 0)
+
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(max_seqs, n_kv, max_pages),
+            in_specs=[
+                pl.BlockSpec((1, 1, g_pad, d_pad), q_idx),
+                pl.BlockSpec((1, 1, cfg.page_size, d_pad), page_idx),
+                pl.BlockSpec((1, 1, cfg.page_size, 1), scales_idx),
+                pl.BlockSpec((1, 1, cfg.page_size, d_pad), page_idx),
+                pl.BlockSpec((1, 1, cfg.page_size, 1), scales_idx),
+            ],
+            out_specs=[pl.BlockSpec((1, 1, g_pad, d_pad), q_idx)],
+            scratch_shapes=[
+                pltpu.VMEM((g_pad, d_pad), jnp.float32),
+                pltpu.VMEM((g_pad, LANE), jnp.float32),
+                pltpu.VMEM((g_pad, LANE), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((max_seqs, n_kv, g_pad, d_pad), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(cache.page_tables), counts.astype(jnp.int32),
+      cache.lengths.astype(jnp.int32),
+      qg, cache.k_pages, k_scales, cache.v_pages, v_scales)[0]
+
+    return o[:, :, :g, :d].reshape(max_seqs, n_q_heads, d)

@@ -1,0 +1,253 @@
+"""Continuous-batching decode engine for the flagship transformer.
+
+Multi-sequence serving loop (BASELINE north star; no reference
+counterpart): prompts are prefetched through the training-path flash
+kernel, their K/V written into the paged (optionally INT8) cache, and all
+active sequences then advance one token per ``step()`` through the paged
+decode kernel — new requests are admitted into free slots between steps
+(continuous batching), finished sequences retire and release their pages.
+
+jit boundaries: ``prefill`` is compiled per prompt-length bucket (prompts
+pad up to the bucket); ``decode_step`` compiles once for the static
+(max_seqs, …) shapes.  Admission/retirement/page management run on the
+host between steps (the scheduler in ``scheduler.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mask_rules import CausalRule
+from ..models.transformer import ModelConfig, _mlp_block, _rms_norm
+from ..parallel.sharded import mha
+from .decode import paged_decode_attention
+from .kv_cache import (
+    KVCacheConfig,
+    PageAllocator,
+    PagedKVCache,
+    append_tokens_batched,
+    assign_page,
+    write_prompt,
+)
+from .scheduler import Request, Scheduler
+
+__all__ = ["EngineConfig", "DecodeEngine"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    max_seqs: int = 4
+    page_size: int = 128
+    n_pages: int = 64           # includes 1 reserved trash page
+    max_pages_per_seq: int = 16
+    quantized_kv: bool = True
+    prefill_buckets: tuple = (128, 512)
+
+
+def _rope_at(x, pos, theta):
+    """Rotary embedding for single tokens: x (S, h, d), pos (S,)."""
+    S, h, d = x.shape
+    half = d // 2
+    freqs = 1.0 / (theta ** (np.arange(0, half, dtype=np.float32) / half))
+    angles = pos.astype(jnp.float32)[:, None] * freqs[None, :]
+    cos = jnp.cos(angles)[:, None, :].astype(x.dtype)
+    sin = jnp.sin(angles)[:, None, :].astype(x.dtype)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+class DecodeEngine:
+    def __init__(self, model_cfg: ModelConfig, params, engine_cfg: EngineConfig = EngineConfig(),
+                 interpret: Optional[bool] = None):
+        self.mcfg = model_cfg
+        self.ecfg = engine_cfg
+        self.params = params
+        self.interpret = (jax.default_backend() not in ("tpu",)) if interpret is None else interpret
+
+        self.ccfg = KVCacheConfig(
+            n_kv_heads=model_cfg.n_kv_heads,
+            head_dim=model_cfg.d_head,
+            page_size=engine_cfg.page_size,
+            n_pages=engine_cfg.n_pages,
+            max_seqs=engine_cfg.max_seqs,
+            max_pages_per_seq=engine_cfg.max_pages_per_seq,
+            quantized=engine_cfg.quantized_kv,
+            dtype=model_cfg.dtype,
+        )
+        self.trash_page = engine_cfg.n_pages - 1
+        self.caches: List[PagedKVCache] = [
+            PagedKVCache.create(self.ccfg) for _ in range(model_cfg.n_layers)
+        ]
+        self.allocator = PageAllocator(engine_cfg.n_pages - 1)  # exclude trash
+        self.scheduler = Scheduler(engine_cfg.max_seqs, engine_cfg.n_pages - 1,
+                                   engine_cfg.page_size)
+        self._slots: List[Optional[dict]] = [None] * engine_cfg.max_seqs
+        self._next_rid = 0
+        self._results: Dict[int, List[int]] = {}
+        self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(1,))
+        self._prefill = {
+            b: jax.jit(functools.partial(self._prefill_impl, b))
+            for b in engine_cfg.prefill_buckets
+        }
+
+    # ---- compiled model functions ----
+
+    def _prefill_impl(self, bucket, params, tokens, true_len):
+        """Run the prompt through the training-path kernel; return the last
+        logits and per-layer (k, v) for cache writing."""
+        cfg = self.mcfg
+        from ..models.transformer import _rope
+        x = params["embed"].astype(cfg.dtype)[tokens][None]  # (1, bucket, d)
+        kvs = []
+        for layer in params["layers"]:
+            h = _rms_norm(x, layer["ln1"])
+            b, s, _ = h.shape
+            q = (h @ layer["wq"].astype(h.dtype)).reshape(b, s, cfg.n_heads, cfg.d_head)
+            k = (h @ layer["wk"].astype(h.dtype)).reshape(b, s, cfg.n_kv_heads, cfg.d_head)
+            v = (h @ layer["wv"].astype(h.dtype)).reshape(b, s, cfg.n_kv_heads, cfg.d_head)
+            q = jnp.swapaxes(q, 1, 2)
+            k = jnp.swapaxes(k, 1, 2)
+            v = jnp.swapaxes(v, 1, 2)
+            q = _rope(q, cfg.rope_theta)
+            k = _rope(k, cfg.rope_theta)
+            o = mha(q, k, v, rule=CausalRule(), block_config=cfg.block_config,
+                    interpret=self.interpret)
+            o = jnp.swapaxes(o, 1, 2).reshape(b, s, cfg.n_heads * cfg.d_head)
+            x = x + o @ layer["wo"].astype(o.dtype)
+            x = _mlp_block(cfg, layer, x)
+            kvs.append((k[0], v[0]))  # (n_kv_heads, bucket, d_head)
+        x = _rms_norm(x, params["final_norm"])
+        logits = (x @ params["embed"].astype(x.dtype).T)[0]  # (bucket, vocab)
+        last = logits[true_len - 1]
+        return last, kvs
+
+    def _decode_step_impl(self, params, caches, tokens, active):
+        """One token for every slot.  tokens (S,) int32, active (S,) bool."""
+        cfg = self.mcfg
+        pos = caches[0].lengths  # positions of the new tokens
+        x = params["embed"].astype(cfg.dtype)[tokens]  # (S, d_model)
+        new_caches = []
+        for layer, cache in zip(params["layers"], caches):
+            h = _rms_norm(x, layer["ln1"])
+            S = h.shape[0]
+            q = (h @ layer["wq"].astype(h.dtype)).reshape(S, cfg.n_heads, cfg.d_head)
+            k = (h @ layer["wk"].astype(h.dtype)).reshape(S, cfg.n_kv_heads, cfg.d_head)
+            v = (h @ layer["wv"].astype(h.dtype)).reshape(S, cfg.n_kv_heads, cfg.d_head)
+            q = _rope_at(q, pos, cfg.rope_theta)
+            k = _rope_at(k, pos, cfg.rope_theta)
+            cache = append_tokens_batched(cache, self.ccfg, k, v, active, self.trash_page)
+            o = paged_decode_attention(q, cache, self.ccfg, interpret=self.interpret)
+            x = x + o.reshape(S, -1).astype(x.dtype) @ layer["wo"].astype(x.dtype)
+            x = _mlp_block(cfg, layer, x[:, None, :])[:, 0, :]
+            new_caches.append(cache)
+        x = _rms_norm(x, params["final_norm"])
+        logits = x @ params["embed"].astype(x.dtype).T
+        next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return next_tokens, new_caches
+
+    # ---- host-side serving loop ----
+
+    def submit(self, prompt: List[int], max_new_tokens: int = 16) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self.scheduler.enqueue(Request(rid, len(prompt), max_new_tokens))
+        self._results[rid] = list(prompt)
+        setattr(self, f"_prompt_{rid}", list(prompt))
+        return rid
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.ecfg.prefill_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds largest bucket")
+
+    def _admit(self):
+        for req, slot in self.scheduler.admit():
+            prompt = getattr(self, f"_prompt_{req.rid}")
+            bucket = self._bucket_for(len(prompt))
+            tokens = jnp.asarray(
+                prompt + [0] * (bucket - len(prompt)), jnp.int32)
+            last_logits, kvs = self._prefill[bucket](
+                self.params, tokens, len(prompt))
+            n_pages = -(-len(prompt) // self.ecfg.page_size)
+            pages = self.allocator.alloc(slot, n_pages)
+            for i, (k, v) in enumerate(kvs):
+                self.caches[i] = write_prompt(
+                    self.caches[i], self.ccfg, slot, np.asarray(pages),
+                    k[:, : len(prompt)], v[:, : len(prompt)])
+            first_tok = int(jnp.argmax(last_logits))
+            self._results[req.rid].append(first_tok)
+            self._slots[slot] = {
+                "rid": req.rid,
+                "remaining": req.max_new_tokens - 1,
+                "last": first_tok,
+                "length": len(prompt),
+            }
+
+    def _ensure_capacity(self):
+        for slot, st in enumerate(self._slots):
+            if st is None:
+                continue
+            # the upcoming append targets position `length`
+            if st["length"] % self.ecfg.page_size == 0:
+                logical = st["length"] // self.ecfg.page_size
+                page = self.allocator.alloc(slot, 1)[0]
+                for i in range(len(self.caches)):
+                    self.caches[i] = assign_page(self.caches[i], slot, logical, page)
+
+    def _retire(self):
+        for slot, st in enumerate(self._slots):
+            if st is not None and st["remaining"] <= 0:
+                pages = self.allocator.owned(slot)
+                self.allocator.free(slot)
+                self.scheduler.release(slot, len(pages))
+                # zero the slot length so dead slots skip all pages
+                for i in range(len(self.caches)):
+                    self.caches[i] = dataclasses.replace(
+                        self.caches[i],
+                        lengths=self.caches[i].lengths.at[slot].set(0))
+                self._slots[slot] = None
+
+    @property
+    def num_active(self) -> int:
+        return sum(st is not None for st in self._slots)
+
+    def step(self) -> int:
+        """Admit, decode one token for all active slots, retire.  Returns
+        the number of tokens produced this step."""
+        self._admit()
+        if self.num_active == 0:
+            return 0
+        self._ensure_capacity()
+        tokens = jnp.asarray(
+            [st["last"] if st else 0 for st in self._slots], jnp.int32)
+        active = jnp.asarray([st is not None for st in self._slots])
+        next_tokens, self.caches = self._decode_step(
+            self.params, self.caches, tokens, active)
+        produced = 0
+        next_host = np.asarray(next_tokens)
+        for slot, st in enumerate(self._slots):
+            if st is None:
+                continue
+            tok = int(next_host[slot])
+            self._results[st["rid"]].append(tok)
+            st["last"] = tok
+            st["length"] += 1
+            st["remaining"] -= 1
+            produced += 1
+        self._retire()
+        return produced
+
+    def run(self, max_steps: int = 1000) -> Dict[int, List[int]]:
+        """Drain the queue; returns {rid: token list (prompt + generated)}."""
+        steps = 0
+        while (self.scheduler.queued or self.num_active) and steps < max_steps:
+            self.step()
+            steps += 1
+        return dict(self._results)

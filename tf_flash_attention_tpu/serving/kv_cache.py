@@ -1,0 +1,235 @@
+"""Paged, optionally INT8-quantized KV cache.
+
+Serving-side state for multi-sequence decode (no reference counterpart —
+the reference is a stateless op library, SURVEY.md §5).  Virtual-memory
+layout: K/V live in fixed-size pages scattered across HBM; each sequence
+owns a page table.  Values may be stored INT8 with per-token scales,
+dequantized inside the decode kernel.
+
+Layouts:
+  k_pages, v_pages: (n_kv_heads, n_pages, page_size, head_dim)
+  k_scales, v_scales: (n_kv_heads, n_pages, page_size, 1) f32 (int8 mode)
+  page_tables: (max_seqs, max_pages_per_seq) int32
+  lengths:     (max_seqs,) int32
+
+The page allocator is host-side (free-list); device state is a pytree so
+the whole cache threads through jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..block_sizes import LANE, pad_to
+
+__all__ = ["KVCacheConfig", "PagedKVCache", "PageAllocator"]
+
+
+@dataclasses.dataclass(frozen=True)
+class KVCacheConfig:
+    n_kv_heads: int
+    head_dim: int
+    page_size: int = 512
+    n_pages: int = 64
+    max_seqs: int = 8
+    max_pages_per_seq: int = 16
+    quantized: bool = True
+    dtype: object = jnp.bfloat16  # payload dtype when not quantized
+
+    @property
+    def head_dim_store(self) -> int:
+        # storage feature dim padded to the TPU lane width so kernel block
+        # specs never read past the array
+        return pad_to(self.head_dim, LANE)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    k_pages: jax.Array
+    v_pages: jax.Array
+    k_scales: Optional[jax.Array]
+    v_scales: Optional[jax.Array]
+    page_tables: jax.Array  # (max_seqs, max_pages_per_seq) int32
+    lengths: jax.Array      # (max_seqs,) int32
+
+    @staticmethod
+    def create(cfg: KVCacheConfig) -> "PagedKVCache":
+        payload_dtype = jnp.int8 if cfg.quantized else cfg.dtype
+        shape = (cfg.n_kv_heads, cfg.n_pages, cfg.page_size, cfg.head_dim_store)
+        scales_shape = (cfg.n_kv_heads, cfg.n_pages, cfg.page_size, 1)
+        return PagedKVCache(
+            k_pages=jnp.zeros(shape, payload_dtype),
+            v_pages=jnp.zeros(shape, payload_dtype),
+            k_scales=jnp.ones(scales_shape, jnp.float32) if cfg.quantized else None,
+            v_scales=jnp.ones(scales_shape, jnp.float32) if cfg.quantized else None,
+            page_tables=jnp.zeros((cfg.max_seqs, cfg.max_pages_per_seq), jnp.int32),
+            lengths=jnp.zeros((cfg.max_seqs,), jnp.int32),
+        )
+
+
+def _pad_feature(x, d_store):
+    d = x.shape[-1]
+    if d == d_store:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, d_store - d)])
+
+
+def _quantize_tokens(x):
+    """Per-token symmetric int8: x (..., t, d) -> (int8 values, f32 scales (...,t,1))."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def append_token(cache: PagedKVCache, cfg: KVCacheConfig, slot, k_new, v_new) -> PagedKVCache:
+    """Append one token's K/V for sequence ``slot``.
+
+    ``k_new, v_new``: (n_kv_heads, head_dim).  Page index and intra-page
+    offset derive from the current length; the page table must already map
+    the target page (see ``PageAllocator.ensure_capacity``).
+    """
+    k_new = _pad_feature(k_new, cfg.head_dim_store)
+    v_new = _pad_feature(v_new, cfg.head_dim_store)
+    length = cache.lengths[slot]
+    logical_page = length // cfg.page_size
+    offset = length % cfg.page_size
+    page = cache.page_tables[slot, logical_page]
+
+    def scatter(pages, scales, new):
+        if cfg.quantized:
+            qv, sc = _quantize_tokens(new)
+            pages = jax.lax.dynamic_update_slice(
+                pages, qv[:, None, None, :], (0, page, offset, 0))
+            scales = jax.lax.dynamic_update_slice(
+                scales, sc[:, None, None, :], (0, page, offset, 0))
+            return pages, scales
+        pages = jax.lax.dynamic_update_slice(
+            pages, new.astype(pages.dtype)[:, None, None, :], (0, page, offset, 0))
+        return pages, scales
+
+    k_pages, k_scales = scatter(cache.k_pages, cache.k_scales, k_new)
+    v_pages, v_scales = scatter(cache.v_pages, cache.v_scales, v_new)
+    return dataclasses.replace(
+        cache,
+        k_pages=k_pages, v_pages=v_pages,
+        k_scales=k_scales, v_scales=v_scales,
+        lengths=cache.lengths.at[slot].add(1),
+    )
+
+
+def write_prompt(cache: PagedKVCache, cfg: KVCacheConfig, slot: int,
+                 pages: np.ndarray, k: jax.Array, v: jax.Array) -> PagedKVCache:
+    """Bulk-write a prompt's K/V into pre-allocated physical ``pages``.
+
+    ``k, v``: (n_kv_heads, t, head_dim); ``pages``: host int32 array of the
+    physical pages backing the prompt (``ceil(t / page_size)`` entries).
+    """
+    k = _pad_feature(k, cfg.head_dim_store)
+    v = _pad_feature(v, cfg.head_dim_store)
+    t = k.shape[1]
+    n_used = -(-t // cfg.page_size)
+    assert len(pages) >= n_used
+    pad = n_used * cfg.page_size - t
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    kp = kp.reshape(cfg.n_kv_heads, n_used, cfg.page_size, cfg.head_dim_store)
+    vp = vp.reshape(cfg.n_kv_heads, n_used, cfg.page_size, cfg.head_dim_store)
+
+    k_pages, v_pages = cache.k_pages, cache.v_pages
+    k_scales, v_scales = cache.k_scales, cache.v_scales
+    if cfg.quantized:
+        kq, ks = _quantize_tokens(kp)
+        vq, vs = _quantize_tokens(vp)
+    else:
+        kq, vq, ks, vs = kp.astype(k_pages.dtype), vp.astype(v_pages.dtype), None, None
+    for i in range(n_used):
+        p = int(pages[i])
+        k_pages = k_pages.at[:, p].set(kq[:, i])
+        v_pages = v_pages.at[:, p].set(vq[:, i])
+        if cfg.quantized:
+            k_scales = k_scales.at[:, p].set(ks[:, i])
+            v_scales = v_scales.at[:, p].set(vs[:, i])
+    table = cache.page_tables.at[slot, :n_used].set(jnp.asarray(pages[:n_used], jnp.int32))
+    return dataclasses.replace(
+        cache,
+        k_pages=k_pages, v_pages=v_pages, k_scales=k_scales, v_scales=v_scales,
+        page_tables=table,
+        lengths=cache.lengths.at[slot].set(t),
+    )
+
+
+def assign_page(cache: PagedKVCache, slot: int, logical_page: int, physical_page: int) -> PagedKVCache:
+    """Map ``logical_page`` of ``slot`` to ``physical_page`` in the table."""
+    return dataclasses.replace(
+        cache,
+        page_tables=cache.page_tables.at[slot, logical_page].set(physical_page),
+    )
+
+
+def append_tokens_batched(cache: PagedKVCache, cfg: KVCacheConfig,
+                          k_new: jax.Array, v_new: jax.Array,
+                          active: jax.Array, trash_page: int) -> PagedKVCache:
+    """Append one token per sequence slot (vectorised decode-step write).
+
+    ``k_new, v_new``: (max_seqs, n_kv_heads, head_dim); ``active``:
+    (max_seqs,) bool.  Inactive slots write to the reserved ``trash_page``
+    so the scatter stays branch-free; their lengths do not advance.
+    """
+    lengths = cache.lengths
+    logical = lengths // cfg.page_size
+    offset = lengths % cfg.page_size
+    phys = jnp.take_along_axis(cache.page_tables, logical[:, None], axis=1)[:, 0]
+    phys = jnp.where(active, phys, trash_page)
+
+    def scatter(pages, scales, new):
+        # new: (max_seqs, n_kv_heads, d) -> write at [:, phys[s], offset[s], :]
+        vals = jnp.swapaxes(_pad_feature(new, cfg.head_dim_store), 0, 1)
+        if cfg.quantized:
+            qv, sc = _quantize_tokens(vals)
+            pages = pages.at[:, phys, offset, :].set(qv)
+            scales = scales.at[:, phys, offset, :].set(sc)
+            return pages, scales
+        return pages.at[:, phys, offset, :].set(vals.astype(pages.dtype)), scales
+
+    k_pages, k_scales = scatter(cache.k_pages, cache.k_scales, k_new)
+    v_pages, v_scales = scatter(cache.v_pages, cache.v_scales, v_new)
+    return dataclasses.replace(
+        cache,
+        k_pages=k_pages, v_pages=v_pages,
+        k_scales=k_scales, v_scales=v_scales,
+        lengths=cache.lengths + active.astype(jnp.int32),
+    )
+
+
+class PageAllocator:
+    """Host-side free-list page allocator (the runtime's memory manager)."""
+
+    def __init__(self, n_pages: int):
+        self._free = list(range(n_pages - 1, -1, -1))
+        self._owned = {}
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def alloc(self, slot: int, n: int):
+        if n > len(self._free):
+            raise MemoryError(f"out of KV pages: want {n}, have {len(self._free)}")
+        pages = [self._free.pop() for _ in range(n)]
+        self._owned.setdefault(slot, []).extend(pages)
+        return pages
+
+    def owned(self, slot: int):
+        return list(self._owned.get(slot, []))
+
+    def free(self, slot: int):
+        pages = self._owned.pop(slot, [])
+        self._free.extend(reversed(pages))
+        return pages

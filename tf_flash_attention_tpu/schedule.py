@@ -127,8 +127,7 @@ def _pack_live(live: np.ndarray, partial: np.ndarray) -> Schedule:
                     live=live, partial=partial)
 
 
-@functools.lru_cache(maxsize=512)
-def _build_schedule_cached(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int) -> Schedule:
+def _tile_classes_python(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int):
     q_coords, q_flat = sequence_orders(pack.q, pack.reference_shape)
     k_coords, k_flat = sequence_orders(pack.k, pack.reference_shape)
     q_len, k_len = q_flat.size, k_flat.size
@@ -156,9 +155,28 @@ def _build_schedule_cached(pack: SyncPack, rule: MaskRule, block_q: int, block_k
         full[-1, :] = False
     if k_len % block_kv:
         full[:, -1] = False
-    return _pack_live(live, live & ~full)
+    return live, live & ~full
 
 
-def build_schedule(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int) -> Schedule:
-    """Build (and cache) the live-block schedule for a (pack, rule, tiling)."""
-    return _build_schedule_cached(pack, rule, int(block_q), int(block_kv))
+@functools.lru_cache(maxsize=512)
+def _build_schedule_cached(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int,
+                           use_native: bool) -> Schedule:
+    classes = None
+    if use_native:
+        from .native import native_tile_classes
+        classes = native_tile_classes(pack, rule, block_q, block_kv)
+    if classes is None:
+        classes = _tile_classes_python(pack, rule, block_q, block_kv)
+    live, partial = classes
+    return _pack_live(live, partial)
+
+
+def build_schedule(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int,
+                   use_native: bool = True) -> Schedule:
+    """Build (and cache) the live-block schedule for a (pack, rule, tiling).
+
+    Uses the native C++ classifier (``csrc/fa_native.cc``) when available;
+    the NumPy implementation is the fallback and behavioural spec.
+    """
+    return _build_schedule_cached(pack, rule, int(block_q), int(block_kv),
+                                  bool(use_native))

@@ -107,3 +107,51 @@ def test_engine_continuous_admission():
     assert len(results) == 5
     for rid in rids:
         assert len(results[rid]) == 2 + 4
+
+
+def test_sharded_decode_matches_local():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from tf_flash_attention_tpu.parallel.mesh import make_mesh
+    from tf_flash_attention_tpu.serving.sharded_decode import sharded_paged_decode
+
+    rng = np.random.default_rng(5)
+    cfg = KVCacheConfig(n_kv_heads=8, head_dim=32, page_size=64, n_pages=16,
+                        max_seqs=2, max_pages_per_seq=4, quantized=True)
+    cache = PagedKVCache.create(cfg)
+    alloc = PageAllocator(cfg.n_pages - 1)
+    t = 130
+    k = jnp.asarray(rng.uniform(-1, 1, (8, t, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (8, t, 32)), jnp.float32)
+    cache = write_prompt(cache, cfg, 0, np.array(alloc.alloc(0, 3)), k, v)
+    q = jnp.asarray(rng.uniform(-1, 1, (2, 16, 32)), jnp.float32)
+
+    o_local = paged_decode_attention(q, cache, cfg)
+    mesh = make_mesh((1, 4), ("data", "model"), jax.devices()[:4])
+    fn = sharded_paged_decode(mesh, cfg)
+    o_sharded = fn(q, cache)
+    np.testing.assert_allclose(np.asarray(o_sharded), np.asarray(o_local),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fp8_cache_roundtrip_accuracy():
+    rng = np.random.default_rng(2)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=64, n_pages=8,
+                        max_seqs=1, max_pages_per_seq=2, quantized=True,
+                        quant_dtype=jnp.float8_e4m3fn)
+    cache = PagedKVCache.create(cfg)
+    assert cache.k_pages.dtype == jnp.float8_e4m3fn
+    alloc = PageAllocator(cfg.n_pages - 1)
+    t = 100
+    k = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    cache = write_prompt(cache, cfg, 0, np.array(alloc.alloc(0, 2)), k, v)
+    q = jnp.asarray(rng.uniform(-1, 1, (1, 4, 32)), jnp.float32)
+    o = paged_decode_attention(q, cache, cfg)
+    qg = np.asarray(q[0]).reshape(2, 2, 32)
+    s = np.einsum("hgd,htd->hgt", qg, np.asarray(k)) / np.sqrt(32)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("hgt,htd->hgd", p, np.asarray(v)).reshape(4, 32)
+    err = np.abs(np.asarray(o[0]) - ref).max()
+    assert err < 4e-2, err  # fp8-e4m3 quantization tolerance

@@ -39,7 +39,8 @@ class KVCacheConfig:
     max_seqs: int = 8
     max_pages_per_seq: int = 16
     quantized: bool = True
-    dtype: object = jnp.bfloat16  # payload dtype when not quantized
+    quant_dtype: object = jnp.int8    # int8 or float8_e4m3fn payloads
+    dtype: object = jnp.bfloat16      # payload dtype when not quantized
 
     @property
     def head_dim_store(self) -> int:
@@ -60,7 +61,7 @@ class PagedKVCache:
 
     @staticmethod
     def create(cfg: KVCacheConfig) -> "PagedKVCache":
-        payload_dtype = jnp.int8 if cfg.quantized else cfg.dtype
+        payload_dtype = cfg.quant_dtype if cfg.quantized else cfg.dtype
         shape = (cfg.n_kv_heads, cfg.n_pages, cfg.page_size, cfg.head_dim_store)
         scales_shape = (cfg.n_kv_heads, cfg.n_pages, cfg.page_size, 1)
         return PagedKVCache(
@@ -80,11 +81,25 @@ def _pad_feature(x, d_store):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, d_store - d)])
 
 
-def _quantize_tokens(x):
-    """Per-token symmetric int8: x (..., t, d) -> (int8 values, f32 scales (...,t,1))."""
+def _quant_max(qdtype) -> float:
+    if jnp.dtype(qdtype) == jnp.int8:
+        return 127.0
+    if jnp.dtype(qdtype) == jnp.dtype(jnp.float8_e4m3fn):
+        return 448.0
+    raise ValueError(f"unsupported quant dtype {qdtype}")
+
+
+def _quantize_tokens(x, qdtype=jnp.int8):
+    """Per-token symmetric quantization to ``qdtype`` (int8 or fp8-e4m3):
+    x (..., t, d) -> (payload, f32 scales (..., t, 1))."""
+    qmax = _quant_max(qdtype)
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.where(amax == 0.0, 1.0, amax / qmax)
+    scaled = x.astype(jnp.float32) / scale
+    if jnp.dtype(qdtype) == jnp.int8:
+        q = jnp.clip(jnp.round(scaled), -127, 127).astype(jnp.int8)
+    else:
+        q = scaled.astype(qdtype)
     return q, scale
 
 
@@ -104,7 +119,7 @@ def append_token(cache: PagedKVCache, cfg: KVCacheConfig, slot, k_new, v_new) ->
 
     def scatter(pages, scales, new):
         if cfg.quantized:
-            qv, sc = _quantize_tokens(new)
+            qv, sc = _quantize_tokens(new, cfg.quant_dtype)
             pages = jax.lax.dynamic_update_slice(
                 pages, qv[:, None, None, :], (0, page, offset, 0))
             scales = jax.lax.dynamic_update_slice(
@@ -145,8 +160,8 @@ def write_prompt(cache: PagedKVCache, cfg: KVCacheConfig, slot: int,
     k_pages, v_pages = cache.k_pages, cache.v_pages
     k_scales, v_scales = cache.k_scales, cache.v_scales
     if cfg.quantized:
-        kq, ks = _quantize_tokens(kp)
-        vq, vs = _quantize_tokens(vp)
+        kq, ks = _quantize_tokens(kp, cfg.quant_dtype)
+        vq, vs = _quantize_tokens(vp, cfg.quant_dtype)
     else:
         kq, vq, ks, vs = kp.astype(k_pages.dtype), vp.astype(v_pages.dtype), None, None
     for i in range(n_used):
@@ -192,7 +207,7 @@ def append_tokens_batched(cache: PagedKVCache, cfg: KVCacheConfig,
         # new: (max_seqs, n_kv_heads, d) -> write at [:, phys[s], offset[s], :]
         vals = jnp.swapaxes(_pad_feature(new, cfg.head_dim_store), 0, 1)
         if cfg.quantized:
-            qv, sc = _quantize_tokens(vals)
+            qv, sc = _quantize_tokens(vals, cfg.quant_dtype)
             pages = pages.at[:, phys, offset, :].set(qv)
             scales = scales.at[:, phys, offset, :].set(sc)
             return pages, scales

@@ -31,9 +31,59 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def bench_decode():
+    """Decode tokens/s vs the HBM roofline (FA_BENCH_MODE=decode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tf_flash_attention_tpu.serving.decode import paged_decode_attention
+    from tf_flash_attention_tpu.serving.kv_cache import (
+        KVCacheConfig, PageAllocator, PagedKVCache, write_prompt)
+    from tf_flash_attention_tpu.utils.profiling import V5E, device_time
+
+    max_seqs = int(os.environ.get("FA_BENCH_SEQS", 16))
+    seq_len = int(os.environ.get("FA_BENCH_CTX", 8192))
+    n_kv, n_q, d, page = 8, 8, 128, 512
+    pages_per_seq = seq_len // page
+    cfg = KVCacheConfig(n_kv_heads=n_kv, head_dim=d, page_size=page,
+                        n_pages=max_seqs * pages_per_seq + 1,
+                        max_seqs=max_seqs, max_pages_per_seq=pages_per_seq,
+                        quantized=True)
+    cache = PagedKVCache.create(cfg)
+    alloc = PageAllocator(cfg.n_pages - 1)
+    rng = np.random.default_rng(0)
+    for slot in range(max_seqs):
+        k = jnp.asarray(rng.uniform(-1, 1, (n_kv, seq_len, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.uniform(-1, 1, (n_kv, seq_len, d)), jnp.bfloat16)
+        cache = write_prompt(cache, cfg, slot,
+                             np.array(alloc.alloc(slot, pages_per_seq)), k, v)
+    q = jnp.asarray(rng.uniform(-1, 1, (max_seqs, n_q, d)), jnp.bfloat16)
+
+    fn = lambda q, cache: paged_decode_attention(q, cache, cfg)
+    dt = device_time(fn, (q, cache), n=10)
+    toks_per_s = max_seqs / dt
+    # HBM bytes per step: int8 K+V payloads + f32 scales for every live page
+    bytes_step = max_seqs * seq_len * n_kv * (2 * d * 1 + 2 * 4)
+    t_hbm = bytes_step / V5E.hbm_bytes
+    log(f"decode: {dt*1e3:.3f} ms/step, {toks_per_s:,.0f} tok/s, "
+        f"HBM roofline {max_seqs/t_hbm:,.0f} tok/s "
+        f"({t_hbm/dt:.0%} of bandwidth bound)")
+    print(json.dumps({
+        "metric": "paged INT8 decode tokens/s (B=%d, ctx=%d, 8 KV heads, d=128)"
+                  % (max_seqs, seq_len),
+        "value": round(toks_per_s),
+        "unit": "tokens/s",
+        "vs_baseline": round(dt and (t_hbm / dt), 3),
+    }), flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("FA_BENCH_MODE") == "decode":
+        bench_decode()
+        return
 
     import tf_flash_attention_tpu  # noqa: F401  (package import check)
     from tf_flash_attention_tpu.block_sizes import BlockConfig

@@ -54,6 +54,9 @@ class ModelConfig:
     dtype: Any = jnp.bfloat16
     rule: MaskRule = dataclasses.field(default_factory=CausalRule)
     block_config: Optional[BlockConfig] = None
+    # Mixture-of-Experts FFN (expert parallelism) when n_experts > 0
+    n_experts: int = 0
+    capacity_factor: float = 1.25
 
     @property
     def rope_theta(self) -> float:
@@ -73,19 +76,32 @@ def init_params(cfg: ModelConfig, key) -> Dict[str, Any]:
         "layers": [],
     }
     for i in range(cfg.n_layers):
-        k = jax.random.split(keys[i + 1], 6)
-        params["layers"].append({
+        k = jax.random.split(keys[i + 1], 7)
+        layer = {
             "ln1": jnp.ones((cfg.d_model,), jnp.float32),
             "ln2": jnp.ones((cfg.d_model,), jnp.float32),
             "wq": _dense_init(k[0], (cfg.d_model, cfg.n_heads * cfg.d_head)),
             "wk": _dense_init(k[1], (cfg.d_model, cfg.n_kv_heads * cfg.d_head)),
             "wv": _dense_init(k[2], (cfg.d_model, cfg.n_kv_heads * cfg.d_head)),
             "wo": _dense_init(k[3], (cfg.n_heads * cfg.d_head, cfg.d_model)),
-            "w1": _dense_init(k[4], (cfg.d_model, cfg.d_ff)),
-            "w3": _dense_init(k[5], (cfg.d_model, cfg.d_ff)),
-            "w2": _dense_init(k[4], (cfg.d_ff, cfg.d_model)),
-        })
+        }
+        if cfg.n_experts:
+            from .moe import init_moe_params
+            layer["moe"] = init_moe_params(_moe_cfg(cfg), k[6])
+        else:
+            layer.update({
+                "w1": _dense_init(k[4], (cfg.d_model, cfg.d_ff)),
+                "w3": _dense_init(k[5], (cfg.d_model, cfg.d_ff)),
+                "w2": _dense_init(k[4], (cfg.d_ff, cfg.d_model)),
+            })
+        params["layers"].append(layer)
     return params
+
+
+def _moe_cfg(cfg: ModelConfig):
+    from .moe import MoEConfig
+    return MoEConfig(n_experts=cfg.n_experts, d_model=cfg.d_model,
+                     d_ff=cfg.d_ff, capacity_factor=cfg.capacity_factor)
 
 
 def param_shardings(cfg: ModelConfig, mesh: Mesh):
@@ -99,10 +115,20 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh):
         "wk": ns(None, AXIS_MODEL),
         "wv": ns(None, AXIS_MODEL),
         "wo": ns(AXIS_MODEL, None),
-        "w1": ns(None, AXIS_MODEL),
-        "w3": ns(None, AXIS_MODEL),
-        "w2": ns(AXIS_MODEL, None),
     }
+    if cfg.n_experts:
+        # expert parallelism: expert axis sharded over the model axis
+        layer["moe"] = {
+            "router": ns(None, None),
+            "w_in": ns(AXIS_MODEL, None, None),
+            "w_out": ns(AXIS_MODEL, None, None),
+        }
+    else:
+        layer.update({
+            "w1": ns(None, AXIS_MODEL),
+            "w3": ns(None, AXIS_MODEL),
+            "w2": ns(AXIS_MODEL, None),
+        })
     return {
         "embed": ns(None, None),
         "final_norm": ns(None),
@@ -158,13 +184,18 @@ def _attention_block(cfg: ModelConfig, layer, x, mesh: Optional[Mesh], interpret
 
 def _mlp_block(cfg: ModelConfig, layer, x):
     h = _rms_norm(x, layer["ln2"])
+    if cfg.n_experts:
+        from .moe import moe_ffn
+        y, aux = moe_ffn(_moe_cfg(cfg), layer["moe"], h)
+        return x + y, aux
     gated = jax.nn.silu(h @ layer["w1"].astype(h.dtype)) * (h @ layer["w3"].astype(h.dtype))
-    return x + gated @ layer["w2"].astype(gated.dtype)
+    return x + gated @ layer["w2"].astype(gated.dtype), jnp.float32(0.0)
 
 
 def forward(cfg: ModelConfig, params, tokens, *, mesh: Optional[Mesh] = None,
-            interpret: Optional[bool] = None):
-    """Token ids ``(batch, seq)`` -> logits ``(batch, seq, vocab)``."""
+            interpret: Optional[bool] = None, return_aux: bool = False):
+    """Token ids ``(batch, seq)`` -> logits ``(batch, seq, vocab)``
+    (optionally ``(logits, moe_aux_loss)``)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
@@ -179,22 +210,28 @@ def forward(cfg: ModelConfig, params, tokens, *, mesh: Optional[Mesh] = None,
         return x
 
     x = params["embed"].astype(cfg.dtype)[tokens]
+    aux_total = jnp.float32(0.0)
     for layer in params["layers"]:
         x = sp(x)
         x = _attention_block(cfg, layer, x, mesh, interpret)
         x = sp(x)
-        x = _mlp_block(cfg, layer, x)
+        x, aux = _mlp_block(cfg, layer, x)
+        aux_total = aux_total + aux
     x = _rms_norm(x, params["final_norm"])
-    return (x @ params["embed"].astype(x.dtype).T).astype(jnp.float32)
+    logits = (x @ params["embed"].astype(x.dtype).T).astype(jnp.float32)
+    if return_aux:
+        return logits, aux_total
+    return logits
 
 
 def loss_fn(cfg: ModelConfig, params, tokens, *, mesh=None, interpret=None):
-    """Next-token cross entropy."""
-    logits = forward(cfg, params, tokens[:, :-1], mesh=mesh, interpret=interpret)
+    """Next-token cross entropy (+ MoE load-balancing aux loss)."""
+    logits, aux = forward(cfg, params, tokens[:, :-1], mesh=mesh,
+                          interpret=interpret, return_aux=True)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    return jnp.mean(nll) + aux
 
 
 def train_step(cfg: ModelConfig, params, opt_state, tokens, *, optimizer,

@@ -1,23 +1,26 @@
-"""Paged decode attention kernel (q_len = 1, INT8 KV, GQA).
+"""Paged decode attention kernel (q_len = 1, INT8/FP8 KV, GQA).
 
 The serving-path kernel from the BASELINE north star: one new query token
-per sequence attends to its paged (optionally INT8) KV cache.  Design
+per sequence attends to its paged (optionally quantized) KV cache.  Design
 points:
 
 * the page table is a **scalar-prefetch argument and the kv ``BlockSpec``
-  index map reads it**, so non-contiguous pages stream through the normal
+  index maps read it**, so non-contiguous pages stream through the normal
   Pallas input pipeline with automatic double buffering — no hand-rolled
-  DMA machinery (contrast with the manual ``MultiPageAsyncCopyDescriptor``
-  approach; the trace-time-table trick is the same one the training
-  kernels use for block skipping);
+  DMA machinery (the same trace-time-table trick the training kernels use
+  for block skipping);
+* one grid step covers **all KV heads of one page** (an unrolled in-kernel
+  head loop): per-step work is ~1 MB of DMA + a few small matmuls, so the
+  fixed per-step cost amortises — decode throughput is grid-overhead
+  sensitive, not MXU-bound;
 * steps past a sequence's page count re-map to its last page — consecutive
   identical block indices are not re-fetched, so dead steps cost no
   bandwidth — and their compute is predicated off;
-* INT8 payloads are dequantized per page inside the kernel
-  (``int8 -> bf16 * per-token scale``), halving decode HBM traffic, which
-  is the binding resource (decode is bandwidth-bound);
+* quantized payloads are dequantized per page inside the kernel
+  (``int8/fp8 -> bf16 * per-token scale``), halving decode HBM traffic,
+  which is the binding resource (decode is bandwidth-bound);
 * GQA: queries are grouped per KV head, one ``(group, d) @ (d, page)``
-  matmul per page.
+  matmul per head per page.
 
 Sequence lengths are runtime values (continuous batching), so skipping is
 driven by prefetched per-slot page counts rather than the trace-time
@@ -46,15 +49,16 @@ def _decode_kernel(
     tables_ref, counts_ref, lengths_ref,          # scalar prefetch
     q_ref, k_ref, ks_ref, v_ref, vs_ref,          # inputs
     o_ref,                                        # output
-    acc_ref, m_scratch, l_scratch,                # scratch
+    acc_ref, m_scratch, l_scratch,                # scratch (n_kv, g_pad, ...)
     *,
+    n_kv: int,
     page_size: int,
     max_pages: int,
     scale: float,
     quantized: bool,
 ):
     b = pl.program_id(0)
-    p = pl.program_id(2)
+    p = pl.program_id(1)
 
     @pl.when(p == 0)
     def _init():
@@ -64,41 +68,44 @@ def _decode_kernel(
 
     @pl.when(p < counts_ref[b])
     def _compute():
-        q = q_ref[0, 0]                       # (g_pad, d)
-        k = k_ref[0, 0]                       # (page, d)
-        v = v_ref[0, 0]
-        if quantized:
-            k = k.astype(jnp.bfloat16) * ks_ref[0, 0].astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16) * vs_ref[0, 0].astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
-            q.astype(k.dtype), k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                      # (g_pad, page)
-        s = s * jnp.float32(scale * LOG2E)
         token_pos = p * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (1, page_size), 1)
-        s = jnp.where(token_pos < lengths_ref[b], s, NEG_INF_F32)
+            jnp.int32, (1, 1, page_size), 2)
+        bounds = token_pos < lengths_ref[b]
+        # all heads at once via head-batched dot_generals: one op stream per
+        # page regardless of head count (decode is per-step-overhead bound)
+        q = q_ref[0]                               # (n_kv, g_pad, d)
+        k = k_ref[:, 0]                            # (n_kv, page, d)
+        v = v_ref[:, 0]
+        if quantized:
+            k = k.astype(jnp.bfloat16) * ks_ref[:, 0].astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16) * vs_ref[:, 0].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q.astype(k.dtype), k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                          # (n_kv, g_pad, page)
+        s = s * jnp.float32(scale * LOG2E)
+        s = jnp.where(bounds, s, NEG_INF_F32)
 
-        m_prev = m_scratch[:, :1]
-        l_prev = l_scratch[:, :1]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_prev = m_scratch[:, :, :1]
+        l_prev = l_scratch[:, :, :1]
+        m_curr = jnp.max(s, axis=2, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
-        pweights = jnp.exp2(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(pweights, axis=1, keepdims=True)
+        pw = jnp.exp2(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(pw, axis=2, keepdims=True)
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
         pv = jax.lax.dot_general(
-            pweights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            pw.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        )                                          # (n_kv, g_pad, d)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
     @pl.when(p == max_pages - 1)
     def _finalize():
-        l_col = l_scratch[:, :1]
+        l_col = l_scratch[:, :, :1]
         l_safe = jnp.where(l_col == 0.0, 1.0, l_col)
-        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
 
 
 def paged_decode_attention(
@@ -134,56 +141,56 @@ def paged_decode_attention(
     max_pages = cfg.max_pages_per_seq
     quantized = cfg.quantized
 
-    def page_idx(b, h, p, t, c, L):
+    def page_idx(b, p, t, c, L):
         lp = jnp.maximum(0, jnp.minimum(p, c[b] - 1))
-        return (h, t[b, lp], 0, 0)
+        return (0, t[b, lp], 0, 0)
 
-    def q_idx(b, h, p, t, c, L):
-        return (b, h, 0, 0)
+    def q_idx(b, p, t, c, L):
+        return (b, 0, 0, 0)
 
     kernel = functools.partial(
         _decode_kernel,
+        n_kv=n_kv,
         page_size=cfg.page_size,
         max_pages=max_pages,
         scale=float(scale),
         quantized=quantized,
     )
 
-    scales_dtype = jnp.float32
     k_scales = cache.k_scales
     v_scales = cache.v_scales
     if not quantized:
         # dummy 1-page scale operands keep the kernel signature uniform
-        k_scales = jnp.ones((n_kv, 1, cfg.page_size, 1), scales_dtype)
+        k_scales = jnp.ones((n_kv, 1, cfg.page_size, 1), jnp.float32)
         v_scales = k_scales
 
-    def scales_idx(b, h, p, t, c, L):
+    def scales_idx(b, p, t, c, L):
         if quantized:
-            return page_idx(b, h, p, t, c, L)
-        return (h, 0, 0, 0)
+            return page_idx(b, p, t, c, L)
+        return (0, 0, 0, 0)
 
     o = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(max_seqs, n_kv, max_pages),
+            grid=(max_seqs, max_pages),
             in_specs=[
-                pl.BlockSpec((1, 1, g_pad, d_pad), q_idx),
-                pl.BlockSpec((1, 1, cfg.page_size, d_pad), page_idx),
-                pl.BlockSpec((1, 1, cfg.page_size, 1), scales_idx),
-                pl.BlockSpec((1, 1, cfg.page_size, d_pad), page_idx),
-                pl.BlockSpec((1, 1, cfg.page_size, 1), scales_idx),
+                pl.BlockSpec((1, n_kv, g_pad, d_pad), q_idx),
+                pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
+                pl.BlockSpec((n_kv, 1, cfg.page_size, 1), scales_idx),
+                pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
+                pl.BlockSpec((n_kv, 1, cfg.page_size, 1), scales_idx),
             ],
-            out_specs=[pl.BlockSpec((1, 1, g_pad, d_pad), q_idx)],
+            out_specs=[pl.BlockSpec((1, n_kv, g_pad, d_pad), q_idx)],
             scratch_shapes=[
-                pltpu.VMEM((g_pad, d_pad), jnp.float32),
-                pltpu.VMEM((g_pad, LANE), jnp.float32),
-                pltpu.VMEM((g_pad, LANE), jnp.float32),
+                pltpu.VMEM((n_kv, g_pad, d_pad), jnp.float32),
+                pltpu.VMEM((n_kv, g_pad, LANE), jnp.float32),
+                pltpu.VMEM((n_kv, g_pad, LANE), jnp.float32),
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((max_seqs, n_kv, g_pad, d_pad), q.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,

@@ -120,7 +120,7 @@ class DecodeEngine:
                     interpret=self.interpret)
             o = jnp.swapaxes(o, 1, 2).reshape(b, s, cfg.n_heads * cfg.d_head)
             x = x + o @ layer["wo"].astype(o.dtype)
-            x = _mlp_block(cfg, layer, x)
+            x = _mlp_block(cfg, layer, x)[0]
             kvs.append((k[0], v[0]))  # (n_kv_heads, bucket, d_head)
         x = _rms_norm(x, params["final_norm"])
         logits = (x @ params["embed"].astype(x.dtype).T)[0]  # (bucket, vocab)
@@ -144,7 +144,7 @@ class DecodeEngine:
             cache = append_tokens_batched(cache, self.ccfg, k, v, active, self.trash_page)
             o = paged_decode_attention(q, cache, self.ccfg, interpret=self.interpret)
             x = x + o.reshape(S, -1).astype(x.dtype) @ layer["wo"].astype(x.dtype)
-            x = _mlp_block(cfg, layer, x[:, None, :])[:, 0, :]
+            x = _mlp_block(cfg, layer, x[:, None, :])[0][:, 0, :]
             new_caches.append(cache)
         x = _rms_norm(x, params["final_norm"])
         logits = x @ params["embed"].astype(x.dtype).T

@@ -96,3 +96,20 @@ def test_ring_attention_2d_mesh(eight_devices):
     np.testing.assert_allclose(
         np.asarray(o_ring), np.asarray(o_local), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_attention_gradients(eight_devices, causal):
+    """Ring backward (ring-level custom_vjp with global stats) must match
+    the single-device kernel gradients."""
+    mesh = make_mesh((1, 1, 8), ("data", "model", "context"), eight_devices)
+    q, k, v = data(b=1, h=2, s=512, d=16)
+    do = data(b=1, h=2, s=512, d=16)[0]
+    ring = ring_flash_attention(mesh, causal=causal, block_config=BLOCKS)
+    rule = CausalRule() if causal else FullRule()
+    g_ring = jax.vjp(lambda *a: ring(*a), q, k, v)[1](do)
+    g_local = jax.vjp(lambda a, b, c: mha(a, b, c, rule=rule,
+                                          block_config=BLOCKS), q, k, v)[1](do)
+    for a, b in zip(g_ring, g_local):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

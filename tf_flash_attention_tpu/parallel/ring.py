@@ -1,4 +1,4 @@
-"""Ring attention: context parallelism over ICI.
+"""Ring attention: context parallelism over ICI, forward and backward.
 
 Sequence/context parallelism for sequences beyond one chip's HBM — a
 first-class TPU component with no reference counterpart (the reference
@@ -8,8 +8,8 @@ SURVEY.md §5).  KV shards rotate around the ``context`` mesh axis via
 runs the local Pallas flash kernel on the shard currently in front of it;
 XLA's latency-hiding scheduler overlaps the permute with the compute.
 
-The cross-shard combine is the *same online (m, l, O) merge* the kernel
-uses across KV tiles (and that the reference implements across blocks at
+The cross-shard combine is the *same online (m, l, O) merge* the kernels
+use across KV tiles (and that the reference implements across blocks at
 ``flash_attention.cu:974-1035``) — the ring is the inter-chip level of the
 identical recurrence:
 
@@ -21,10 +21,19 @@ from an earlier ring position is fully visible (full-rule kernel, no mask
 work), the diagonal shard is locally causal, and later shards are skipped
 outright (l = 0 contribution) — the shard-level analog of the block-skip
 schedule.
+
+**Backward** is a ring-level ``custom_vjp``: the forward saves the global
+softmax stats ``(l, m)`` (exact after the full ring pass), and the
+backward runs its own ring loop, calling the recompute-based
+``flash_backward`` kernels per visiting shard with those *global* stats —
+dK/dV partials rotate alongside their K/V shards and arrive home after a
+full cycle.  This is the standard ring-attention gradient; masked-out
+shard pairs contribute exact zeros.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -35,12 +44,147 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..block_sizes import BlockConfig, LANE, choose_block_config, pad_to
 from ..mask_rules import CausalRule, FullRule
+from ..ops.backward import flash_backward
 from ..ops.forward import flash_forward
 from ..sync_modes import make_sync_pack
 from ..utils.dtypes import MASK_VALUE_F32
 from .mesh import AXIS_CONTEXT, AXIS_DATA, AXIS_MODEL
 
 __all__ = ["ring_attention_local", "ring_flash_attention"]
+
+
+@dataclasses.dataclass(frozen=True)
+class _RingParams:
+    axis_name: str
+    axis_size: int
+    causal: bool
+    scale: Optional[float]
+    block_config: BlockConfig
+    interpret: bool
+
+
+def _shift(x, axis_name, axis_size):
+    return jax.lax.ppermute(
+        x, axis_name, [(i, (i + 1) % axis_size) for i in range(axis_size)])
+
+
+def _branch_index(src, my):
+    return jnp.where(src == my, 1, jnp.where(src > my, 2, 0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ring_attend(q, k, v, params: _RingParams):
+    o, _, _ = _ring_forward(q, k, v, params)
+    return o
+
+
+def _ring_forward(q, k, v, params: _RingParams):
+    B, s, d = q.shape
+    v_d = v.shape[-1]
+    n = params.axis_size
+    pack = make_sync_pack("none_front", (s,), (s,))
+    my = jax.lax.axis_index(params.axis_name)
+
+    def part(rule):
+        def fn(args):
+            k_cur, v_cur = args
+            return flash_forward(
+                q, k_cur, v_cur, pack=pack, rule=rule,
+                config=params.block_config, scale=params.scale,
+                interpret=params.interpret)
+        return fn
+
+    def skip_part(args):
+        return (
+            jnp.zeros((B, s, v_d), jnp.float32),
+            jnp.zeros((B, s), jnp.float32),
+            jnp.full((B, s), MASK_VALUE_F32, jnp.float32),
+        )
+
+    branches = [part(FullRule()), part(CausalRule()), skip_part]
+
+    o = jnp.zeros((B, s, v_d), jnp.float32)
+    l = jnp.zeros((B, s), jnp.float32)
+    m = jnp.full((B, s), MASK_VALUE_F32, jnp.float32)
+    k_cur, v_cur = k, v
+
+    for step in range(n):
+        src = (my - step) % n
+        if params.causal:
+            o_s, l_s, m_s = jax.lax.switch(
+                _branch_index(src, my), branches, (k_cur, v_cur))
+        else:
+            o_s, l_s, m_s = branches[0]((k_cur, v_cur))
+        o_s = o_s.astype(jnp.float32)
+
+        # online merge (identical recurrence to the in-kernel KV-tile merge)
+        m_new = jnp.maximum(m, m_s)
+        a = jnp.exp(m - m_new)
+        b_w = jnp.exp(m_s - m_new)
+        l_new = a * l + b_w * l_s
+        l_safe = jnp.where(l_new == 0.0, 1.0, l_new)
+        o = ((a * l)[..., None] * o + (b_w * l_s)[..., None] * o_s) / l_safe[..., None]
+        l, m = l_new, m_new
+
+        if step + 1 < n:
+            k_cur = _shift(k_cur, params.axis_name, n)
+            v_cur = _shift(v_cur, params.axis_name, n)
+
+    return o.astype(q.dtype), l, m
+
+
+def _ring_fwd(q, k, v, params: _RingParams):
+    o, l, m = _ring_forward(q, k, v, params)
+    return o, (q, k, v, o, l, m)
+
+
+def _ring_bwd(params: _RingParams, residuals, do):
+    q, k, v, o, l, m = residuals
+    n = params.axis_size
+    pack = make_sync_pack("none_front", (q.shape[1],), (k.shape[1],))
+    my = jax.lax.axis_index(params.axis_name)
+
+    def part(rule):
+        def fn(args):
+            k_cur, v_cur = args
+            return flash_backward(
+                q, k_cur, v_cur, o, l, m, do,
+                pack=pack, rule=rule, config=params.block_config,
+                scale=params.scale, interpret=params.interpret)
+        return fn
+
+    def skip_part(args):
+        k_cur, v_cur = args
+        return (jnp.zeros_like(q), jnp.zeros_like(k_cur), jnp.zeros_like(v_cur))
+
+    branches = [part(FullRule()), part(CausalRule()), skip_part]
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    k_cur, v_cur = k, v
+    dk_cur = jnp.zeros(k.shape, jnp.float32)
+    dv_cur = jnp.zeros(v.shape, jnp.float32)
+
+    for step in range(n):
+        src = (my - step) % n
+        if params.causal:
+            dq_s, dk_s, dv_s = jax.lax.switch(
+                _branch_index(src, my), branches, (k_cur, v_cur))
+        else:
+            dq_s, dk_s, dv_s = branches[0]((k_cur, v_cur))
+        dq = dq + dq_s.astype(jnp.float32)
+        dk_cur = dk_cur + dk_s.astype(jnp.float32)
+        dv_cur = dv_cur + dv_s.astype(jnp.float32)
+        # rotate the kv shard together with its gradient partials; after a
+        # full cycle the accumulated dK/dV land back on their home chip
+        k_cur = _shift(k_cur, params.axis_name, n)
+        v_cur = _shift(v_cur, params.axis_name, n)
+        dk_cur = _shift(dk_cur, params.axis_name, n)
+        dv_cur = _shift(dv_cur, params.axis_name, n)
+
+    return dq.astype(q.dtype), dk_cur.astype(k.dtype), dv_cur.astype(v.dtype)
+
+
+_ring_attend.defvjp(_ring_fwd, _ring_bwd)
 
 
 def ring_attention_local(
@@ -55,71 +199,21 @@ def ring_attention_local(
     block_config: Optional[BlockConfig] = None,
     interpret: bool = False,
 ):
-    """Ring attention body (call inside ``shard_map``).
+    """Ring attention body (call inside ``shard_map``); differentiable.
 
     ``q, k, v``: local shards ``(B, s, d)`` where the global sequence is
     sharded equally (and identically for q and kv) over ``axis_name``.
     Returns the local output shard ``(B, s, v_d)``.
     """
     B, s, d = q.shape
-    v_d = v.shape[-1]
     if block_config is None:
         block_config = choose_block_config(s, s, pad_to(d, LANE), pad_to(d, LANE), q.dtype)
-    pack = make_sync_pack("none_front", (s,), (s,))
-    my = jax.lax.axis_index(axis_name)
-
-    def full_part(args):
-        k_cur, v_cur = args
-        return flash_forward(q, k_cur, v_cur, pack=pack, rule=FullRule(),
-                             config=block_config, scale=scale, interpret=interpret)
-
-    def diag_part(args):
-        k_cur, v_cur = args
-        return flash_forward(q, k_cur, v_cur, pack=pack, rule=CausalRule(),
-                             config=block_config, scale=scale, interpret=interpret)
-
-    def skip_part(args):
-        return (
-            jnp.zeros((B, s, v_d), jnp.float32),
-            jnp.zeros((B, s), jnp.float32),
-            jnp.full((B, s), MASK_VALUE_F32, jnp.float32),
-        )
-
-    o = jnp.zeros((B, s, v_d), jnp.float32)
-    l = jnp.zeros((B, s), jnp.float32)
-    m = jnp.full((B, s), MASK_VALUE_F32, jnp.float32)
-    k_cur, v_cur = k, v
-
-    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
-
-    for step in range(axis_size):
-        src = (my - step) % axis_size
-        if causal:
-            branch = jnp.where(src == my, 1, jnp.where(src > my, 2, 0))
-            o_s, l_s, m_s = jax.lax.switch(
-                branch, [full_part, diag_part, skip_part], (k_cur, v_cur)
-            )
-        else:
-            o_s, l_s, m_s = full_part((k_cur, v_cur))
-        o_s = o_s.astype(jnp.float32)
-
-        # online merge (identical recurrence to the in-kernel KV-tile merge)
-        m_new = jnp.maximum(m, m_s)
-        a = jnp.exp(m - m_new)
-        b_w = jnp.exp(m_s - m_new)
-        l_new = a * l + b_w * l_s
-        l_safe = jnp.where(l_new == 0.0, 1.0, l_new)
-        o = (a * l)[..., None] * o + (b_w * l_s)[..., None] * o_s
-        o = o / l_safe[..., None]
-        # keep o in "normalised" form; fold back for next merge via l
-        l = l_new
-        m = m_new
-
-        if step + 1 < axis_size:
-            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
-            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
-
-    return o.astype(q.dtype)
+    params = _RingParams(
+        axis_name=axis_name, axis_size=int(axis_size), causal=bool(causal),
+        scale=None if scale is None else float(scale),
+        block_config=block_config, interpret=bool(interpret),
+    )
+    return _ring_attend(q, k, v, params)
 
 
 def ring_flash_attention(
@@ -137,7 +231,7 @@ def ring_flash_attention(
 
     Input layout ``(batch, heads, seq, head_dim)``: batch on ``data``,
     heads on ``model``, sequence on ``context`` (2D/3D meshes supported;
-    missing axes may have size 1).
+    missing axes may have size 1).  Differentiable end to end.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)

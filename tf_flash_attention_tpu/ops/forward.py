@@ -248,6 +248,18 @@ def flash_forward(
         ],
     )
 
+    # Skip-aware analytic cost fed to the compiler's scheduler — the TPU
+    # analog of the reference's OpStats("flops") registration
+    # (flash_attention.py:499-562): the model that priced the op for TF's
+    # grappler here informs XLA's scheduling of the custom call.
+    n_live = int(sched.live.sum())
+    cost = pl.CostEstimate(
+        flops=2 * block_q * block_kv * (d_pad + v_d_pad) * n_live * B,
+        bytes_accessed=int(qp.nbytes + kp.nbytes + vp.nbytes
+                           + B * q_pad * v_d_pad * qp.dtype.itemsize),
+        transcendentals=block_q * block_kv * n_live * B,
+    )
+
     o, stats = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -256,6 +268,7 @@ def flash_forward(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=VMEM_LIMIT,
         ),
+        cost_estimate=cost,
         interpret=interpret,
     )(jnp.asarray(sched.kv_table), jnp.asarray(sched.kv_counts),
       jnp.asarray(sched.needs_mask), qp, kp, vp)

@@ -113,3 +113,25 @@ def test_ring_attention_gradients(eight_devices, causal):
     for a, b in zip(g_ring, g_local):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("rule", [
+    LocalRule(window_size=100, is_causal=True),
+    LocalRule(window_size=70),
+    LocalRule(window_size=40, log2_stride_size=1, is_causal=True),
+], ids=["local-causal", "local-band-wrap", "local-strided"])
+def test_ring_attention_local_rule(eight_devices, rule):
+    """Banded shard schedule: 1d local rules over context parallelism,
+    forward and gradients vs the single-device kernel."""
+    mesh = make_mesh((1, 1, 8), ("data", "model", "context"), eight_devices)
+    q, k, v = data(b=1, h=2, s=512, d=16)
+    do = data(b=1, h=2, s=512, d=16)[0]
+    ring = ring_flash_attention(mesh, rule=rule, block_config=BLOCKS)
+    o_r, vjp_r = jax.vjp(lambda *a: ring(*a), q, k, v)
+    o_l, vjp_l = jax.vjp(lambda a, b, c: mha(a, b, c, rule=rule,
+                                             block_config=BLOCKS), q, k, v)
+    np.testing.assert_allclose(np.asarray(o_r), np.asarray(o_l),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(vjp_r(do), vjp_l(do)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

@@ -22,9 +22,7 @@ Two implementations sit behind the same surface:
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +32,7 @@ from .block_sizes import BlockConfig, choose_block_config, pad_to, LANE
 from .mask_rules import CausalRule, FullRule, LocalRule, MaskRule
 from .ops.attend import AttendParams, attend
 from .ops.reference import build_mask, reference_attention_flat
-from .sync_modes import SyncPack, make_sync_pack
+from .sync_modes import make_sync_pack
 
 __all__ = [
     "full_1d", "causal_1d", "local_1d",

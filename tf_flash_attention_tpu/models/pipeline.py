@@ -17,8 +17,6 @@ multi-axis dryrun and as the scaling path for deep models.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Optional
 
 import jax

@@ -13,10 +13,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from ..block_sizes import BlockConfig
 from ..mask_rules import MaskRule

@@ -10,7 +10,6 @@ per-output-channel scales and dequantized into the matmul.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

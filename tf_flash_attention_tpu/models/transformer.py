@@ -38,7 +38,8 @@ from ..parallel.mesh import AXIS_DATA, AXIS_MODEL
 from ..parallel.sharded import mha
 
 __all__ = ["ModelConfig", "init_params", "forward", "loss_fn", "train_step",
-           "param_shardings", "make_sharded_train_step"]
+           "param_shardings", "make_sharded_train_step",
+           "quantize_model_weights"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,6 +137,35 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh):
     }
 
 
+def quantize_model_weights(params):
+    """Weight-only INT8 for the linear projections (inference path).
+
+    Stores wq/wk/wv/wo/w1/w2/w3 as :class:`QuantizedTensor` (int8 payload +
+    per-output-channel scales); matmuls run int8 x int8 on the MXU with the
+    scales applied to the int32 result (``ops/quant.int8_matmul``).
+    """
+    from ..ops.quant import quantize_weight_int8
+
+    out = {"embed": params["embed"], "final_norm": params["final_norm"],
+           "layers": []}
+    for layer in params["layers"]:
+        q = dict(layer)
+        for name in ("wq", "wk", "wv", "wo", "w1", "w2", "w3"):
+            if name in q:
+                q[name] = quantize_weight_int8(q[name])
+        out["layers"].append(q)
+    return out
+
+
+def _proj(x, w):
+    """x @ w for dense or weight-only-quantized w."""
+    from ..ops.quant import QuantizedTensor, int8_matmul
+
+    if isinstance(w, QuantizedTensor):
+        return int8_matmul(x, w)
+    return x @ w.astype(x.dtype)
+
+
 def _rms_norm(x, scale, eps=1e-6):
     x32 = x.astype(jnp.float32)
     rms = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
@@ -158,9 +188,9 @@ def _rope(x, theta):
 def _attention_block(cfg: ModelConfig, layer, x, mesh: Optional[Mesh], interpret):
     b, s, _ = x.shape
     h = _rms_norm(x, layer["ln1"])
-    q = (h @ layer["wq"].astype(h.dtype)).reshape(b, s, cfg.n_heads, cfg.d_head)
-    k = (h @ layer["wk"].astype(h.dtype)).reshape(b, s, cfg.n_kv_heads, cfg.d_head)
-    v = (h @ layer["wv"].astype(h.dtype)).reshape(b, s, cfg.n_kv_heads, cfg.d_head)
+    q = _proj(h, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.d_head)
+    k = _proj(h, layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head)
+    v = _proj(h, layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head)
     q = jnp.swapaxes(q, 1, 2)
     k = jnp.swapaxes(k, 1, 2)
     v = jnp.swapaxes(v, 1, 2)
@@ -179,7 +209,7 @@ def _attention_block(cfg: ModelConfig, layer, x, mesh: Optional[Mesh], interpret
     else:
         o = attend(q, k, v)
     o = jnp.swapaxes(o, 1, 2).reshape(b, s, cfg.n_heads * cfg.d_head)
-    return x + o @ layer["wo"].astype(o.dtype)
+    return x + _proj(o, layer["wo"])
 
 
 def _mlp_block(cfg: ModelConfig, layer, x):
@@ -188,8 +218,8 @@ def _mlp_block(cfg: ModelConfig, layer, x):
         from .moe import moe_ffn
         y, aux = moe_ffn(_moe_cfg(cfg), layer["moe"], h)
         return x + y, aux
-    gated = jax.nn.silu(h @ layer["w1"].astype(h.dtype)) * (h @ layer["w3"].astype(h.dtype))
-    return x + gated @ layer["w2"].astype(gated.dtype), jnp.float32(0.0)
+    gated = jax.nn.silu(_proj(h, layer["w1"])) * _proj(h, layer["w3"])
+    return x + _proj(gated, layer["w2"]), jnp.float32(0.0)
 
 
 def forward(cfg: ModelConfig, params, tokens, *, mesh: Optional[Mesh] = None,

@@ -55,6 +55,10 @@ class BlockConfig:
     block_q_dkv: int
     block_kv_dkv: int
     block_kv_compute: int | None = None
+    # q-axis sub-tiling: splits one grid step into independent per-sub-block
+    # softmax chains, giving the scheduler freedom to overlap one sub-block's
+    # matmul with another's VPU chain (no data dependence between them)
+    block_q_compute: int | None = None
 
     def __post_init__(self):
         for name in ("block_q", "block_kv", "block_q_dq", "block_kv_dq",
@@ -67,6 +71,11 @@ class BlockConfig:
                 raise ValueError(
                     f"block_kv_compute={self.block_kv_compute} must be a multiple of "
                     f"{LANE} and divide block_kv={self.block_kv}")
+        if self.block_q_compute is not None:
+            if self.block_q_compute % LANE or self.block_q % self.block_q_compute:
+                raise ValueError(
+                    f"block_q_compute={self.block_q_compute} must be a multiple of "
+                    f"{LANE} and divide block_q={self.block_q}")
 
 
 def _fwd_vmem_bytes(bq: int, bk: int, dp: int, vdp: int, itemsize: int) -> int:

@@ -71,6 +71,7 @@ def _fwd_kernel(
     has_interior: bool,
     has_partial: bool,
     kv_compute: int,
+    q_compute: int,
 ):
     qi = pl.program_id(1)
     step = pl.program_id(2)
@@ -84,52 +85,58 @@ def _fwd_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def update(masked: bool):
-        q = q_ref[0]
-        # Unrolled sub-tile loop over the kv block: the S-matmul of sub-tile
-        # j+1 has no data dependence on the softmax chain of sub-tile j, so
-        # the scheduler can overlap MXU and VPU work across sub-tiles.
-        for j in range(block_kv // kv_compute):
-            sl = slice(j * kv_compute, (j + 1) * kv_compute)
-            s = jax.lax.dot_general(
-                q, k_ref[0, sl, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=dot_precision(q.dtype),
-            )
-            # log2-domain logits: one multiply covers 1/sqrt(d) and log2(e)
-            s = s * jnp.float32(scale * LOG2E)
-            if masked:
-                kb = table_ref[qi, step]
-                q_pos = qi * block_q + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, 1), 0)
-                k_pos = kb * block_kv + j * kv_compute + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, kv_compute), 1)
-                mask = build_tile_mask(
-                    pack, rule, q_pos, k_pos, q_len, k_len,
-                    q_len_padded, k_len_padded,
+        # Sub-tile loops.  kv sub-tiles form *dependent* chains (through the
+        # online merge) and are off by default; q sub-tiles are fully
+        # *independent* chains over disjoint scratch slices, giving the
+        # scheduler freedom to overlap one sub-block's matmul with
+        # another's VPU softmax.
+        for jq in range(block_q // q_compute):
+            qs = slice(jq * q_compute, (jq + 1) * q_compute)
+            q = q_ref[0, qs, :]
+            for j in range(block_kv // kv_compute):
+                sl = slice(j * kv_compute, (j + 1) * kv_compute)
+                s = jax.lax.dot_general(
+                    q, k_ref[0, sl, :], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(q.dtype),
                 )
-                if mask is not None:
-                    s = jnp.where(mask, s, NEG_INF_F32)
+                # log2-domain logits: one multiply covers 1/sqrt(d), log2(e)
+                s = s * jnp.float32(scale * LOG2E)
+                if masked:
+                    kb = table_ref[qi, step]
+                    q_pos = qi * block_q + jq * q_compute + jax.lax.broadcasted_iota(
+                        jnp.int32, (q_compute, 1), 0)
+                    k_pos = kb * block_kv + j * kv_compute + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, kv_compute), 1)
+                    mask = build_tile_mask(
+                        pack, rule, q_pos, k_pos, q_len, k_len,
+                        q_len_padded, k_len_padded,
+                    )
+                    if mask is not None:
+                        s = jnp.where(mask, s, NEG_INF_F32)
 
-            m_prev = m_scratch[:, :1]
-            l_prev = l_scratch[:, :1]
-            m_curr = jnp.max(s, axis=1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp2(m_prev - m_next)
-            # Masked entries hold exactly NEG_INF_F32; for any row with a
-            # real max, exp2(NEG - m) underflows to 0, so no re-select is
-            # needed.  Fully-masked rows (m still NEG) are repaired in
-            # _finalize.
-            p = jnp.exp2(s - m_next)
-            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
-            l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+                m_prev = m_scratch[qs, :1]
+                l_prev = l_scratch[qs, :1]
+                m_curr = jnp.max(s, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp2(m_prev - m_next)
+                # Masked entries hold exactly NEG_INF_F32; for any row with
+                # a real max, exp2(NEG - m) underflows to 0, so no re-select
+                # is needed.  Fully-masked rows (m still NEG) are repaired
+                # in _finalize.
+                p = jnp.exp2(s - m_next)
+                l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+                m_scratch[qs, :] = jnp.broadcast_to(
+                    m_next, (q_compute, m_scratch.shape[1]))
+                l_scratch[qs, :] = jnp.broadcast_to(
+                    l_next, (q_compute, l_scratch.shape[1]))
 
-            pv = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0, sl, :],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=dot_precision(v_ref.dtype),
-            )
-            acc_ref[...] = acc_ref[...] * alpha + pv
+                pv = jax.lax.dot_general(
+                    p.astype(v_ref.dtype), v_ref[0, sl, :],
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                    precision=dot_precision(v_ref.dtype),
+                )
+                acc_ref[qs, :] = acc_ref[qs, :] * alpha + pv
 
     in_bounds = step < counts_ref[qi]
     if has_partial and has_interior:
@@ -222,6 +229,7 @@ def flash_forward(
         has_interior=bool((sched.live & ~sched.partial).any()),
         has_partial=bool(sched.partial.any()),
         kv_compute=min(config.block_kv_compute or block_kv, block_kv),
+        q_compute=min(config.block_q_compute or block_q, block_q),
     )
 
     grid = (B, sched.num_q_blocks, num_steps)

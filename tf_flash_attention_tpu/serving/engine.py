@@ -90,6 +90,7 @@ class DecodeEngine:
         self._slots: List[Optional[dict]] = [None] * engine_cfg.max_seqs
         self._next_rid = 0
         self._results: Dict[int, List[int]] = {}
+        self._prompts: Dict[int, List[int]] = {}
         self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(1,))
         self._prefill = {
             b: jax.jit(functools.partial(self._prefill_impl, b))
@@ -158,7 +159,7 @@ class DecodeEngine:
         self._next_rid += 1
         self.scheduler.enqueue(Request(rid, len(prompt), max_new_tokens))
         self._results[rid] = list(prompt)
-        setattr(self, f"_prompt_{rid}", list(prompt))
+        self._prompts[rid] = list(prompt)
         return rid
 
     def _bucket_for(self, n: int) -> int:
@@ -169,7 +170,7 @@ class DecodeEngine:
 
     def _admit(self):
         for req, slot in self.scheduler.admit():
-            prompt = getattr(self, f"_prompt_{req.rid}")
+            prompt = self._prompts.pop(req.rid)
             bucket = self._bucket_for(len(prompt))
             tokens = jnp.asarray(
                 prompt + [0] * (bucket - len(prompt)), jnp.int32)

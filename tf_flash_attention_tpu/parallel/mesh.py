@@ -22,6 +22,24 @@ AXIS_MODEL = "model"
 AXIS_CONTEXT = "context"
 
 
+def maybe_init_distributed() -> bool:
+    """Initialise ``jax.distributed`` when running multi-host.
+
+    Call once at program start on every host of a pod slice (before any
+    device use); after it, ``jax.devices()`` spans all hosts and the same
+    mesh/sharding code runs unchanged — ICI within a slice, DCN across
+    slices.  No-ops (returns False) when no coordinator is configured.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialised
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(
     shape: Optional[Sequence[int]] = None,
     axis_names: Tuple[str, ...] = (AXIS_DATA, AXIS_MODEL),

@@ -114,3 +114,48 @@ def test_jit_and_grad_compose():
     g = jax.grad(loss)(Q, K, V)
     assert g.shape == Q.shape
     assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_batchless_input():
+    """batch_shape may be empty (docstring: 'any dimensionality')."""
+    rng = np.random.default_rng(3)
+    t = lambda s: jnp.asarray(rng.uniform(-1, 1, s), jnp.float32)
+    O = fa.full_1d(t((16, 100)), t((16, 80)), t((8, 80)), block_config=BLOCKS)
+    assert O.shape == (8, 100)
+
+
+def test_decode_like_single_query():
+    rng = np.random.default_rng(4)
+    t = lambda s: jnp.asarray(rng.uniform(-1, 1, s), jnp.float32)
+    O = fa.causal_1d(t((1, 2, 32, 1)), t((1, 2, 32, 200)), t((1, 2, 32, 200)),
+                     sync_mode="none_front", block_config=BLOCKS)
+    assert O.shape == (1, 2, 32, 1)
+    assert np.isfinite(np.asarray(O)).all()
+
+
+def test_window_larger_than_sequence_equals_full():
+    rng = np.random.default_rng(5)
+    t = lambda s: jnp.asarray(rng.uniform(-1, 1, s), jnp.float32)
+    Q, K, V = t((1, 1, 8, 50)), t((1, 1, 8, 50)), t((1, 1, 8, 50))
+    o_local = fa.local_1d(Q, K, V, window_size=1000, log2_stride_size=0,
+                          is_causal=False, sync_mode="none_front",
+                          block_config=BLOCKS)
+    o_full = fa.full_1d(Q, K, V, block_config=BLOCKS)
+    np.testing.assert_allclose(np.asarray(o_local), np.asarray(o_full),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_custom_scale():
+    rng = np.random.default_rng(6)
+    t = lambda s: jnp.asarray(rng.uniform(-1, 1, s), jnp.float32)
+    Q, K, V = t((1, 1, 8, 64)), t((1, 1, 8, 64)), t((1, 1, 8, 64))
+    o1 = fa.causal_1d(Q, K, V, sync_mode="none_front", scale=0.5,
+                      block_config=BLOCKS)
+    o_default = fa.causal_1d(Q, K, V, sync_mode="none_front",
+                             block_config=BLOCKS)
+    assert not np.allclose(np.asarray(o1), np.asarray(o_default))
+    o2 = fa.causal_1d(2.0 * 0.5 / (8 ** -0.5) * Q / 2, K, V,
+                      sync_mode="none_front", block_config=BLOCKS)
+    # scale folds linearly into Q
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-4,
+                               atol=1e-5)

@@ -167,3 +167,31 @@ def test_weight_only_int8_inference():
     rel = float(jnp.max(jnp.abs(dense_logits - q_logits))) / float(
         jnp.max(jnp.abs(dense_logits)))
     assert rel < 0.05, rel
+
+
+def test_context_parallel_model_matches_dense():
+    import dataclasses as dc
+    import optax
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from tf_flash_attention_tpu.models.transformer import loss_fn
+
+    cfg = ModelConfig(vocab=128, d_model=64, n_layers=2, n_heads=4, n_kv_heads=4,
+                      d_head=16, d_ff=128, max_seq=256, context_parallel=True,
+                      dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh((2, 2, 2), ("data", "model", "context"), jax.devices()[:8])
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 257), 0, 128)
+    l_cp = float(loss_fn(cfg, params, tokens, mesh=mesh))
+    l_dense = float(loss_fn(dc.replace(cfg, context_parallel=False), params, tokens))
+    np.testing.assert_allclose(l_cp, l_dense, rtol=1e-5)
+
+    optimizer = optax.adamw(1e-2)
+    params = jax.device_put(params, param_shardings(cfg, mesh))
+    opt_state = optimizer.init(params)
+    step = make_sharded_train_step(cfg, mesh, optimizer)
+    losses = []
+    for _ in range(3):
+        loss, params, opt_state = step(params, opt_state, tokens)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..block_sizes import BlockConfig
 from ..mask_rules import CausalRule, MaskRule
-from ..parallel.mesh import AXIS_DATA, AXIS_MODEL
+from ..parallel.mesh import AXIS_CONTEXT, AXIS_DATA, AXIS_MODEL
 from ..parallel.sharded import mha
 
 __all__ = ["ModelConfig", "init_params", "forward", "loss_fn", "train_step",
@@ -58,6 +58,8 @@ class ModelConfig:
     # Mixture-of-Experts FFN (expert parallelism) when n_experts > 0
     n_experts: int = 0
     capacity_factor: float = 1.25
+    # ring attention over a 'context' mesh axis (sequence sharded)
+    context_parallel: bool = False
 
     @property
     def rope_theta(self) -> float:
@@ -172,17 +174,23 @@ def _rms_norm(x, scale, eps=1e-6):
     return (x32 * rms * scale).astype(x.dtype)
 
 
-def _rope(x, theta):
-    """Rotary embedding on (b, h, s, d_head)."""
+def _rope(x, theta, pos0=0):
+    """Rotary embedding on (b, h, s, d_head); positions start at ``pos0``
+    (nonzero for context-parallel shards, where positions are global)."""
     b, h, s, d = x.shape
     half = d // 2
     freqs = 1.0 / (theta ** (np.arange(0, half, dtype=np.float32) / half))
-    pos = jnp.arange(s, dtype=jnp.float32)
+    pos = pos0 + jnp.arange(s, dtype=jnp.float32)
     angles = pos[:, None] * freqs[None, :]
     cos = jnp.cos(angles)[None, None].astype(x.dtype)
     sin = jnp.sin(angles)[None, None].astype(x.dtype)
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+def _use_cp(cfg, mesh) -> bool:
+    return (cfg.context_parallel and mesh is not None
+            and int(mesh.shape.get(AXIS_CONTEXT, 1)) > 1)
 
 
 def _attention_block(cfg: ModelConfig, layer, x, mesh: Optional[Mesh], interpret):
@@ -194,20 +202,55 @@ def _attention_block(cfg: ModelConfig, layer, x, mesh: Optional[Mesh], interpret
     q = jnp.swapaxes(q, 1, 2)
     k = jnp.swapaxes(k, 1, 2)
     v = jnp.swapaxes(v, 1, 2)
-    q = _rope(q, cfg.rope_theta)
-    k = _rope(k, cfg.rope_theta)
 
-    attend = functools.partial(
-        mha, rule=cfg.rule, block_config=cfg.block_config, interpret=interpret
-    )
-    if mesh is not None:
-        spec = P(AXIS_DATA, AXIS_MODEL, None, None)
+    if _use_cp(cfg, mesh):
+        # context parallelism: sequence sharded over 'context', heads over
+        # 'model'; RoPE applied per shard at global positions; attention is
+        # the differentiable ring
+        from ..parallel.ring import ring_attention_local
+
+        n_ctx = int(mesh.shape[AXIS_CONTEXT])
+        spec = P(AXIS_DATA, AXIS_MODEL, AXIS_CONTEXT, None)
+
+        def cp_attend(q, k, v):
+            bb, hh, ss, dd = q.shape
+            pos0 = jax.lax.axis_index(AXIS_CONTEXT) * ss
+            q_r = _rope(q, cfg.rope_theta, pos0)
+            k_r = _rope(k, cfg.rope_theta, pos0)
+            if hh != k_r.shape[1]:
+                reps = hh // k_r.shape[1]
+                k_r = jnp.repeat(k_r, reps, axis=1)
+                v_l = jnp.repeat(v, reps, axis=1)
+            else:
+                v_l = v
+            o = ring_attention_local(
+                q_r.reshape(bb * hh, ss, dd),
+                k_r.reshape(bb * hh, ss, dd),
+                v_l.reshape(bb * hh, ss, -1),
+                axis_name=AXIS_CONTEXT, axis_size=n_ctx,
+                rule=cfg.rule, block_config=cfg.block_config,
+                interpret=interpret,
+            )
+            return o.reshape(bb, hh, ss, -1)
+
         o = shard_map(
-            attend, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-            check_vma=False,
+            cp_attend, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False,
         )(q, k, v)
     else:
-        o = attend(q, k, v)
+        q = _rope(q, cfg.rope_theta)
+        k = _rope(k, cfg.rope_theta)
+        attend = functools.partial(
+            mha, rule=cfg.rule, block_config=cfg.block_config, interpret=interpret
+        )
+        if mesh is not None:
+            spec = P(AXIS_DATA, AXIS_MODEL, None, None)
+            o = shard_map(
+                attend, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                check_vma=False,
+            )(q, k, v)
+        else:
+            o = attend(q, k, v)
     o = jnp.swapaxes(o, 1, 2).reshape(b, s, cfg.n_heads * cfg.d_head)
     return x + _proj(o, layer["wo"])
 
@@ -231,8 +274,13 @@ def forward(cfg: ModelConfig, params, tokens, *, mesh: Optional[Mesh] = None,
 
     def sp(x):
         # Megatron-style sequence parallelism: between-block activations
-        # sharded along seq over the tp axis (GSPMD inserts the
-        # reduce-scatter/all-gather pairs).
+        # sharded along seq — over 'context' when context parallelism is
+        # on (sequence residency), else over the tp axis (GSPMD inserts
+        # the reduce-scatter/all-gather pairs).
+        if _use_cp(cfg, mesh):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(AXIS_DATA, AXIS_CONTEXT, None))
+            )
         if mesh is not None and mesh.shape.get(AXIS_MODEL, 1) > 1:
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(AXIS_DATA, AXIS_MODEL, None))

@@ -129,10 +129,11 @@ def _ring_forward_local(q, k, v, params: _RingParams):
     def part(pack):
         def fn(args):
             k_cur, v_cur = args
-            return flash_forward(
+            o_s, l_s, m_s = flash_forward(
                 q, k_cur, v_cur, pack=pack, rule=rule,
                 config=params.block_config, scale=params.scale,
                 interpret=params.interpret)
+            return o_s.astype(jnp.float32), l_s, m_s
         return fn
 
     def skip_part(args):
@@ -160,7 +161,6 @@ def _ring_forward_local(q, k, v, params: _RingParams):
         is_behind = my >= t  # device my sees shard my - t (no wrap)
         o_s, l_s, m_s = jax.lax.switch(
             jnp.where(is_behind, 0, 1), branches, (k_cur, v_cur))
-        o_s = o_s.astype(jnp.float32)
 
         m_new = jnp.maximum(m, m_s)
         a = jnp.exp(m - m_new)
@@ -236,10 +236,11 @@ def _ring_forward(q, k, v, params: _RingParams):
     def part(rule):
         def fn(args):
             k_cur, v_cur = args
-            return flash_forward(
+            o_s, l_s, m_s = flash_forward(
                 q, k_cur, v_cur, pack=pack, rule=rule,
                 config=params.block_config, scale=params.scale,
                 interpret=params.interpret)
+            return o_s.astype(jnp.float32), l_s, m_s
         return fn
 
     def skip_part(args):
@@ -263,7 +264,6 @@ def _ring_forward(q, k, v, params: _RingParams):
                 _branch_index(src, my), branches, (k_cur, v_cur))
         else:
             o_s, l_s, m_s = branches[0]((k_cur, v_cur))
-        o_s = o_s.astype(jnp.float32)
 
         # online merge (identical recurrence to the in-kernel KV-tile merge)
         m_new = jnp.maximum(m, m_s)

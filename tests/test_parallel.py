@@ -116,6 +116,46 @@ def test_ring_attention_gradients(eight_devices, causal):
 
 
 @pytest.mark.parametrize("rule", [
+    CausalRule(),
+    FullRule(),
+    LocalRule(window_size=20, is_causal=True),
+    LocalRule(window_size=12),
+    LocalRule(window_size=6, log2_stride_size=1),
+], ids=["causal", "full", "local-causal", "local-band", "local-strided"])
+def test_ring_attention_2d_sequences(eight_devices, rule):
+    """2d sequences sharded along dim 0 (row slabs): ring forward and
+    gradients vs the single-device kernel with the global 2d pack."""
+    from tf_flash_attention_tpu.ops.attend import AttendParams, attend
+    from tf_flash_attention_tpu.parallel import make_mesh
+    from tf_flash_attention_tpu.sync_modes import make_sync_pack
+
+    mesh = make_mesh((1, 1, 8), ("data", "model", "context"), eight_devices)
+    s0, s1 = 64, 16
+    s = s0 * s1
+    q, k, v = data(b=1, h=2, s=s, d=16)
+    do = data(b=1, h=2, s=s, d=16, seed=3)[0]
+    blocks = BLOCKS
+    ring = ring_flash_attention(mesh, rule=rule, seq_shape=(s0, s1),
+                                block_config=blocks)
+    o_r, vjp_r = jax.vjp(lambda *a: ring(*a), q, k, v)
+
+    pack = make_sync_pack("none_front", (s0, s1), (s0, s1))
+    params = AttendParams(pack=pack, rule=rule, config=blocks,
+                          scale=1.0 / np.sqrt(16), interpret=True)
+    def local(qq, kk, vv):
+        b, h, _, d = qq.shape
+        o = attend(qq.reshape(b * h, s, d), kk.reshape(b * h, s, d),
+                   vv.reshape(b * h, s, d), params)[0]
+        return o.reshape(b, h, s, d)
+    o_l, vjp_l = jax.vjp(local, q, k, v)
+    np.testing.assert_allclose(np.asarray(o_r), np.asarray(o_l),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(vjp_r(do), vjp_l(do)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("rule", [
     LocalRule(window_size=100, is_causal=True),
     LocalRule(window_size=70),
     LocalRule(window_size=40, log2_stride_size=1, is_causal=True),

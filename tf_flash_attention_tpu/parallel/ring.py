@@ -22,6 +22,16 @@ work), the diagonal shard is locally causal, and later shards are skipped
 outright (l = 0 contribution) — the shard-level analog of the block-skip
 schedule.
 
+**2d sequences** shard along sequence dimension 0: each device holds a
+slab of rows, which is a *contiguous* range of the row-major-flattened
+sequence the kernels consume, so the same ring applies unchanged.  The
+flattened reference order of an earlier row-slab is everywhere smaller
+(row-major flattening is monotone in the dim-0 coordinate,
+``flash_attention.h:27-41``), so the causal full/diagonal/skip shard
+decomposition holds verbatim; local rules get global dim-0 coordinates
+through per-pair offset packs, and the banded shard schedule is driven by
+the dim-0 window reach.
+
 **Backward** is a ring-level ``custom_vjp``: the forward saves the global
 softmax stats ``(l, m)`` (exact after the full ring pass), and the
 backward runs its own ring loop, calling the recompute-based
@@ -61,7 +71,10 @@ class _RingParams:
     scale: Optional[float]
     block_config: BlockConfig
     interpret: bool
-    local_rule: Optional["LocalRule"] = None  # 1d local rule over the ring
+    local_rule: Optional["LocalRule"] = None  # local rule over the ring
+    #: local (per-shard) sequence shape; ndim > 1 means a 2d sequence
+    #: sharded along dim 0 (row slabs of the flattened layout)
+    seq_shape: tuple = ()
 
 
 def _shift(x, axis_name, axis_size, delta=1):
@@ -74,39 +87,48 @@ def _branch_index(src, my):
     return jnp.where(src == my, 1, jnp.where(src > my, 2, 0))
 
 
-def _offset_pack(s: int, q_off: int, k_off: int):
+def _offset_pack(seq_shape, q_off0: int, k_off0: int):
     """Sync pack placing the two shards at their *global* positions.
 
-    Order coordinates become global sequence positions (offset + index), so
-    the rule predicates and the block-skip schedule see exactly the global
-    1d geometry of the shard pair.
+    ``seq_shape`` is the local per-shard sequence shape; shards are offset
+    along dimension 0 only (the sharded dimension).  Order coordinates
+    become global sequence positions (offset + index), so the rule
+    predicates and the block-skip schedule see exactly the global geometry
+    of the shard pair.
     """
     from ..sync_modes import SeqDescriptor, SyncPack
 
-    top = max(q_off, k_off) + s
-    ref = 1 << (int(top) - 1).bit_length()
+    pow2 = lambda n: 1 << (int(n) - 1).bit_length()
+    top0 = max(q_off0, k_off0) + seq_shape[0]
+    ref = (pow2(top0),) + tuple(pow2(s) for s in seq_shape[1:])
+    ndim = len(seq_shape)
+    q_off = (int(q_off0),) + (0,) * (ndim - 1)
+    k_off = (int(k_off0),) + (0,) * (ndim - 1)
     return SyncPack(
-        reference_shape=(ref,),
-        q=SeqDescriptor((s,), (1,), (int(q_off),)),
-        k=SeqDescriptor((s,), (1,), (int(k_off),)),
+        reference_shape=ref,
+        q=SeqDescriptor(tuple(seq_shape), (1,) * ndim, q_off),
+        k=SeqDescriptor(tuple(seq_shape), (1,) * ndim, k_off),
     )
 
 
-def _local_live_steps(rule, n: int, s: int):
+def _local_live_steps(rule, n: int, r0: int):
     """Static per-step liveness of the banded shard schedule.
 
-    At ring step ``t`` a device sees the shard ``t`` positions behind it
-    (or ``n - t`` ahead, for devices that wrapped).  A shard pair can
-    contain a visible element iff the window reaches across the gap:
-    ``gap*s - (s-1) <= strided_window - 1``.  Steps where neither the
+    ``r0`` is the per-shard extent of the sharded sequence dimension
+    (dim 0; the whole sequence for 1d).  At ring step ``t`` a device sees
+    the shard ``t`` positions behind it (or ``n - t`` ahead, for devices
+    that wrapped).  A shard pair can contain a visible element iff the
+    per-dim window reaches across the dim-0 gap:
+    ``gap*r0 - (r0-1) <= strided_window - 1`` (the remaining dimensions
+    always overlap — shards span them fully).  Steps where neither the
     behind nor (non-causal) ahead case is live are dropped entirely —
     ppermute jumps straight to the next live rotation.
     """
     sw = rule.strided_window_size
     steps = []
     for t in range(n):
-        behind = (t * s) <= sw + s - 2
-        ahead = (not rule.is_causal) and t > 0 and ((n - t) * s) <= sw + s - 2
+        behind = (t * r0) <= sw + r0 - 2
+        ahead = (not rule.is_causal) and t > 0 and ((n - t) * r0) <= sw + r0 - 2
         if t == 0 or behind or ahead:
             steps.append((t, behind or t == 0, ahead))
     return steps
@@ -119,11 +141,13 @@ def _ring_attend(q, k, v, params: _RingParams):
 
 
 def _ring_forward_local(q, k, v, params: _RingParams):
-    """Forward ring pass for a 1d local rule (banded shard schedule)."""
+    """Forward ring pass for a local rule (banded shard schedule)."""
     rule = params.local_rule
     B, s, d = q.shape
     v_d = v.shape[-1]
     n = params.axis_size
+    seq_shape = params.seq_shape or (s,)
+    r0 = seq_shape[0]
     my = jax.lax.axis_index(params.axis_name)
 
     def part(pack):
@@ -149,14 +173,14 @@ def _ring_forward_local(q, k, v, params: _RingParams):
     k_cur, v_cur = k, v
     rot = 0
 
-    for t, behind_live, ahead_live in _local_live_steps(rule, n, s):
+    for t, behind_live, ahead_live in _local_live_steps(rule, n, r0):
         if t != rot:
             k_cur = _shift(k_cur, params.axis_name, n, t - rot)
             v_cur = _shift(v_cur, params.axis_name, n, t - rot)
             rot = t
         branches = [
-            part(_offset_pack(s, t * s, 0)) if behind_live else skip_part,
-            part(_offset_pack(s, 0, (n - t) * s)) if ahead_live else skip_part,
+            part(_offset_pack(seq_shape, t * r0, 0)) if behind_live else skip_part,
+            part(_offset_pack(seq_shape, 0, (n - t) * r0)) if ahead_live else skip_part,
         ]
         is_behind = my >= t  # device my sees shard my - t (no wrap)
         o_s, l_s, m_s = jax.lax.switch(
@@ -174,11 +198,13 @@ def _ring_forward_local(q, k, v, params: _RingParams):
 
 
 def _ring_bwd_local(params: _RingParams, residuals, do):
-    """Backward ring pass for a 1d local rule."""
+    """Backward ring pass for a local rule."""
     rule = params.local_rule
     q, k, v, o, l, m = residuals
     s = q.shape[1]
     n = params.axis_size
+    seq_shape = params.seq_shape or (s,)
+    r0 = seq_shape[0]
     my = jax.lax.axis_index(params.axis_name)
 
     def part(pack):
@@ -200,15 +226,15 @@ def _ring_bwd_local(params: _RingParams, residuals, do):
     dv_cur = jnp.zeros(v.shape, jnp.float32)
     rot = 0
 
-    for t, behind_live, ahead_live in _local_live_steps(rule, n, s):
+    for t, behind_live, ahead_live in _local_live_steps(rule, n, r0):
         if t != rot:
             shift = lambda x: _shift(x, params.axis_name, n, t - rot)
             k_cur, v_cur = shift(k_cur), shift(v_cur)
             dk_cur, dv_cur = shift(dk_cur), shift(dv_cur)
             rot = t
         branches = [
-            part(_offset_pack(s, t * s, 0)) if behind_live else skip_part,
-            part(_offset_pack(s, 0, (n - t) * s)) if ahead_live else skip_part,
+            part(_offset_pack(seq_shape, t * r0, 0)) if behind_live else skip_part,
+            part(_offset_pack(seq_shape, 0, (n - t) * r0)) if ahead_live else skip_part,
         ]
         dq_s, dk_s, dv_s = jax.lax.switch(
             jnp.where(my >= t, 0, 1), branches, (k_cur, v_cur))
@@ -230,7 +256,11 @@ def _ring_forward(q, k, v, params: _RingParams):
     B, s, d = q.shape
     v_d = v.shape[-1]
     n = params.axis_size
-    pack = make_sync_pack("none_front", (s,), (s,))
+    # Diagonal-shard pack in *local* coordinates: row-major flattening is
+    # monotone in the dim-0 coordinate, so slab-local order comparisons
+    # equal global ones (both operands share the same dim-0 offset).
+    seq_shape = params.seq_shape or (s,)
+    pack = make_sync_pack("none_front", seq_shape, seq_shape)
     my = jax.lax.axis_index(params.axis_name)
 
     def part(rule):
@@ -291,7 +321,8 @@ def _ring_bwd(params: _RingParams, residuals, do):
         return _ring_bwd_local(params, residuals, do)
     q, k, v, o, l, m = residuals
     n = params.axis_size
-    pack = make_sync_pack("none_front", (q.shape[1],), (k.shape[1],))
+    seq_shape = params.seq_shape or (q.shape[1],)
+    pack = make_sync_pack("none_front", seq_shape, seq_shape)
     my = jax.lax.axis_index(params.axis_name)
 
     def part(rule):
@@ -346,6 +377,7 @@ def ring_attention_local(
     axis_size: int,
     causal: bool = True,
     rule=None,
+    seq_shape=None,
     scale: Optional[float] = None,
     block_config: Optional[BlockConfig] = None,
     interpret: bool = False,
@@ -354,14 +386,22 @@ def ring_attention_local(
 
     ``q, k, v``: local shards ``(B, s, d)`` where the global sequence is
     sharded equally (and identically for q and kv) over ``axis_name``.
-    ``rule`` may be Full/Causal (overrides ``causal``) or a 1d
+    ``rule`` may be Full/Causal (overrides ``causal``) or a
     :class:`LocalRule`, which runs the banded shard schedule (only steps
     the window can reach are visited, with global-position masking inside
-    each shard pair).  Returns the local output shard ``(B, s, v_d)``.
+    each shard pair).  ``seq_shape`` is the *local* (per-shard) sequence
+    shape for 2d sequences sharded along dim 0 (``s`` must equal its
+    product); omit for 1d.  Returns the local output shard ``(B, s, v_d)``.
     """
     from ..mask_rules import LocalRule as _Local
 
     B, s, d = q.shape
+    if seq_shape is None:
+        seq_shape = (s,)
+    seq_shape = tuple(int(x) for x in seq_shape)
+    import numpy as _np
+    if int(_np.prod(seq_shape)) != s:
+        raise ValueError(f"seq_shape {seq_shape} does not flatten to {s}")
     if block_config is None:
         block_config = choose_block_config(s, s, pad_to(d, LANE), pad_to(d, LANE), q.dtype)
     local_rule = None
@@ -378,7 +418,7 @@ def ring_attention_local(
         axis_name=axis_name, axis_size=int(axis_size), causal=bool(causal),
         scale=None if scale is None else float(scale),
         block_config=block_config, interpret=bool(interpret),
-        local_rule=local_rule,
+        local_rule=local_rule, seq_shape=seq_shape,
     )
     return _ring_attend(q, k, v, params)
 
@@ -388,6 +428,7 @@ def ring_flash_attention(
     *,
     causal: bool = True,
     rule=None,
+    seq_shape=None,
     scale: Optional[float] = None,
     block_config: Optional[BlockConfig] = None,
     data_axis: str = AXIS_DATA,
@@ -399,11 +440,22 @@ def ring_flash_attention(
 
     Input layout ``(batch, heads, seq, head_dim)``: batch on ``data``,
     heads on ``model``, sequence on ``context`` (2D/3D meshes supported;
-    missing axes may have size 1).  Differentiable end to end.
+    missing axes may have size 1).  For 2d sequences pass the *global*
+    ``seq_shape``; the ``seq`` axis carries the row-major flattening and
+    is sharded along sequence dim 0 (dim 0 must divide by the context
+    axis size).  Differentiable end to end.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     axis_size = int(mesh.shape[context_axis])
+    local_seq_shape = None
+    if seq_shape is not None:
+        seq_shape = tuple(int(x) for x in seq_shape)
+        if seq_shape[0] % axis_size:
+            raise ValueError(
+                f"sequence dim 0 ({seq_shape[0]}) must divide by the "
+                f"context axis size ({axis_size})")
+        local_seq_shape = (seq_shape[0] // axis_size,) + seq_shape[1:]
     spec = P(data_axis, model_axis, context_axis, None)
 
     def local_fn(q, k, v):
@@ -416,6 +468,7 @@ def ring_flash_attention(
             axis_size=axis_size,
             causal=causal,
             rule=rule,
+            seq_shape=local_seq_shape,
             scale=scale,
             block_config=block_config,
             interpret=interpret,

@@ -107,7 +107,7 @@ def main():
     pack = make_sync_pack("none_front", (S,), (S,))
     rule = CausalRule()
 
-    configs = [(2048, 1024)] if fast else [(2048, 1024), (2048, 2048)]
+    configs = [(2048, 1024)] if fast else [(2048, 1024), (1024, 1024), (2048, 2048)]
     best_tflops, best_cfg, best_ms = 0.0, None, None
     for bq, bk in configs:
         bq_c, bk_c = min(bq, S), min(bk, S)

@@ -16,9 +16,15 @@ points:
 * steps past a sequence's page count re-map to its last page — consecutive
   identical block indices are not re-fetched, so dead steps cost no
   bandwidth — and their compute is predicated off;
-* quantized payloads are dequantized per page inside the kernel
-  (``int8/fp8 -> bf16 * per-token scale``), halving decode HBM traffic,
-  which is the binding resource (decode is bandwidth-bound);
+* quantized payloads are dequantized per page inside the kernel, halving
+  decode HBM traffic, which is the binding resource (decode is
+  bandwidth-bound).  Dequantization is *post-scaled*: the (page, d) tiles
+  are only cast (``int8/fp8 -> bf16``); the per-token scales — stored
+  token-minor, one contiguous lane-major row per page — are applied to
+  the small (group, page) score/probability tiles instead (K scales fold
+  into the logits scale multiply, V scales into the probabilities before
+  the PV matmul).  Applying scales to the big tiles, or storing them
+  token-major (one-lane-wide DMAs), each measured ~4x slower end-to-end;
 * GQA: queries are grouped per KV head, one ``(group, d) @ (d, page)``
   matmul per head per page.
 
@@ -77,13 +83,17 @@ def _decode_kernel(
         k = k_ref[:, 0]                            # (n_kv, page, d)
         v = v_ref[:, 0]
         if quantized:
-            k = k.astype(jnp.bfloat16) * ks_ref[:, 0].astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16) * vs_ref[:, 0].astype(jnp.bfloat16)
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q.astype(k.dtype), k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                          # (n_kv, g_pad, page)
-        s = s * jnp.float32(scale * LOG2E)
+        if quantized:
+            # post-scale: per-token K scales fold into the logits multiply
+            s = s * (ks_ref[:, 0] * jnp.float32(scale * LOG2E))
+        else:
+            s = s * jnp.float32(scale * LOG2E)
         s = jnp.where(bounds, s, NEG_INF_F32)
 
         m_prev = m_scratch[:, :, :1]
@@ -95,6 +105,9 @@ def _decode_kernel(
         l_next = alpha * l_prev + jnp.sum(pw, axis=2, keepdims=True)
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+        if quantized:
+            # post-scale: per-token V scales fold into the probabilities
+            pw = pw * vs_ref[:, 0]
         pv = jax.lax.dot_general(
             pw.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -161,7 +174,7 @@ def paged_decode_attention(
     v_scales = cache.v_scales
     if not quantized:
         # dummy 1-page scale operands keep the kernel signature uniform
-        k_scales = jnp.ones((n_kv, 1, cfg.page_size, 1), jnp.float32)
+        k_scales = jnp.ones((n_kv, 1, 1, cfg.page_size), jnp.float32)
         v_scales = k_scales
 
     def scales_idx(b, p, t, c, L):
@@ -177,9 +190,9 @@ def paged_decode_attention(
             in_specs=[
                 pl.BlockSpec((1, n_kv, g_pad, d_pad), q_idx),
                 pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
-                pl.BlockSpec((n_kv, 1, cfg.page_size, 1), scales_idx),
+                pl.BlockSpec((n_kv, 1, 1, cfg.page_size), scales_idx),
                 pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
-                pl.BlockSpec((n_kv, 1, cfg.page_size, 1), scales_idx),
+                pl.BlockSpec((n_kv, 1, 1, cfg.page_size), scales_idx),
             ],
             out_specs=[pl.BlockSpec((1, n_kv, g_pad, d_pad), q_idx)],
             scratch_shapes=[

@@ -138,6 +138,15 @@ def test_2d_bf16(case, sync_mode):
     run_case(case, sync_mode, seq_dims=2, dtype=jnp.bfloat16)
 
 
+@pytest.mark.parametrize("case,sync_mode", [("causal", "none_front")])
+def test_1d_fp16(case, sync_mode):
+    """fp16 — the reference's headline half dtype (its *Float16 op family).
+    On real TPUs the kernels compute fp16 in bf16 (Mosaic has no f16 MXU
+    path); interpret mode runs it natively.  Both sit inside the
+    reference's half tolerance model (1e-3·K_entries)."""
+    run_case(case, sync_mode, seq_dims=1, dtype=jnp.float16)
+
+
 def test_fully_masked_rows():
     """Queries ahead of every key (scale_end causal) must yield O=0, l=0,
     m=neg_inf_approx — the reference's fully-masked-row contract

@@ -57,6 +57,30 @@ def test_lm_dtypes(dtype):
     assert m.dtype == dtype
 
 
+@pytest.mark.parametrize("dtype", [jnp.float8_e4m3fn, jnp.float8_e5m2])
+def test_fp8_inputs(dtype):
+    """fp8 inputs (BASELINE "fp8 compute"; beyond reference scope) run the
+    kernels in bf16 and return fp8 outputs with fp32 l stats.  Forward must
+    agree with the fp32 dense oracle up to fp8 output rounding."""
+    Q, K, V = data(dtype)
+    O, l, m = fa.causal_1d(Q, K, V, sync_mode="none_front", returning_l_m=True,
+                           block_config=BLOCKS)
+    assert O.dtype == dtype and l.dtype == jnp.float32 and m.dtype == dtype
+    O_ref = fa.causal_1d(Q.astype(jnp.float32), K.astype(jnp.float32),
+                         V.astype(jnp.float32), sync_mode="none_front",
+                         implementation="xla")
+    # inputs are already fp8-rounded, so the only extra error is the fp8
+    # rounding of O itself: |err| <= max|O| * 2^-2 (e4m3) / 2^-1 (e5m2)
+    err = float(jnp.max(jnp.abs(O.astype(jnp.float32) - O_ref)))
+    assert err <= 0.5 * float(jnp.max(jnp.abs(O_ref))) + 1e-3, err
+
+    # gradients flow (bf16 compute, fp8 cotangents/results)
+    g = jax.grad(lambda q: jnp.sum(
+        fa.causal_1d(q, K, V, sync_mode="none_front",
+                     block_config=BLOCKS).astype(jnp.float32) ** 2))(Q)
+    assert g.dtype == dtype
+
+
 def test_float64_falls_back_to_xla():
     jax.config.update("jax_enable_x64", True)
     try:

@@ -237,15 +237,15 @@ def flash_backward(
     dtype; they are consumed in float32.
     """
     in_dtype = q.dtype
-    if in_dtype == jnp.float16 and not interpret:
-        # Mosaic has no native f16 MXU path; compute in bf16 (see forward).
+    if (in_dtype == jnp.float16 and not interpret) or jnp.dtype(in_dtype).itemsize == 1:
+        # Mosaic has no native f16/fp8 MXU path; compute in bf16 (see forward).
         b16 = lambda x: x.astype(jnp.bfloat16)
         dq, dk, dv = flash_backward(
             b16(q), b16(k), b16(v), b16(o), l, m, b16(do),
             pack=pack, rule=rule, config=config, scale=scale,
             interpret=interpret)
-        return (dq.astype(jnp.float16), dk.astype(jnp.float16),
-                dv.astype(jnp.float16))
+        return (dq.astype(in_dtype), dk.astype(in_dtype),
+                dv.astype(in_dtype))
     B, q_len, d = q.shape
     _, k_len, v_d = v.shape
     if scale is None:

@@ -197,15 +197,16 @@ def flash_forward(
     float32 (the public API layer casts to the reference's output dtypes).
     """
     in_dtype = q.dtype
-    if in_dtype == jnp.float16 and not interpret:
-        # Mosaic has no native f16 MXU path; bf16 is the TPU half type.
-        # Compute in bf16 and cast back — well inside the reference's
-        # half-precision tolerance model (1e-3·k_len, test_base.py:205-226).
+    if (in_dtype == jnp.float16 and not interpret) or jnp.dtype(in_dtype).itemsize == 1:
+        # Mosaic has no native f16 (or fp8 — v5e) MXU path; bf16 is the TPU
+        # half type.  Compute in bf16 and cast back — well inside the
+        # reference's half-precision tolerance model (1e-3·k_len,
+        # test_base.py:205-226).
         o, l, m = flash_forward(
             q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
             v.astype(jnp.bfloat16), pack=pack, rule=rule, config=config,
             scale=scale, interpret=interpret)
-        return o.astype(jnp.float16), l, m
+        return o.astype(in_dtype), l, m
     B, q_len, d = q.shape
     _, k_len, v_d = v.shape
     if scale is None:

@@ -28,6 +28,7 @@ __all__ = [
     "l_dtype",
     "canonical_dtype",
     "MASK_VALUE_F32",
+    "HALF_EMULATED",
 ]
 
 
@@ -58,7 +59,16 @@ _NEG_INF_TABLE = {
     jnp.float32.dtype: _pattern_value(np.float32),   # ~ -6.5251e35
     jnp.float64.dtype: _pattern_value(np.float64),   # ~ -4.8357e281
     jnp.bfloat16.dtype: _BF16_NEG_INF_APPROX,
+    # fp8 (beyond reference scope; BASELINE "fp8 compute"): the same
+    # 0xFA-pattern convention extended to the 8-bit float formats.
+    # e4m3fn 0xFA: -(1 + 2/8)*2^(15-7) = -320; e5m2 0xFA: -1.5*2^15 = -49152
+    jnp.float8_e4m3fn.dtype: -320.0,
+    jnp.float8_e5m2.dtype: -49152.0,
 }
+
+#: dtypes whose kernel compute runs in bf16 on TPU (no native MXU path)
+HALF_EMULATED = (jnp.float16.dtype, jnp.float8_e4m3fn.dtype,
+                 jnp.float8_e5m2.dtype)
 
 # Masking value used inside kernels, where logits are always computed in
 # float32 regardless of the input dtype.  Matches the reference's float32
@@ -89,6 +99,6 @@ def l_dtype(dtype) -> jnp.dtype:
     otherwise the input dtype.
     """
     dtype = canonical_dtype(dtype)
-    if dtype in (jnp.float16.dtype, jnp.bfloat16.dtype):
+    if jnp.dtype(dtype).itemsize <= 2:
         return jnp.float32.dtype
     return dtype

@@ -142,6 +142,19 @@ def main():
         window_size=8, log2_stride_size=1, is_causal=True,
         sync_mode="scale_front")
 
+    # north star: seq 1k-64k.  Batch shrinks with S to bound wall time;
+    # per-chip TFLOP/s is batch-insensitive at these sizes.
+    for S, B in ((1024, 8), (4096, 8), (16384, 2), (65536, 1)):
+        run(f"causal_1d bf16 seq sweep S={S} B={B}", fa.causal_1d,
+            (B, 128, S), (B, 128, S), (B, 128, S), jnp.bfloat16,
+            rule_kind="causal", sync_mode="none_front")
+    run("local_1d bf16 w=512 S=65536 (block-skip payoff)", fa.local_1d,
+        (1, 128, 65536), (1, 128, 65536), (1, 128, 65536), jnp.bfloat16,
+        rule_kind="local",
+        rule_kwargs=dict(window_size=512, log2_stride_size=0, is_causal=True),
+        window_size=512, log2_stride_size=0, is_causal=True,
+        sync_mode="none_front")
+
     print("\n5. decode serving: run  FA_BENCH_MODE=decode python bench.py")
     bad = [r for r in rows if r[5] == "FAIL"]
     print(f"\n{len(rows)} configs, {len(rows) - len(bad)} within tolerance"

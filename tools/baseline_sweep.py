@@ -46,20 +46,24 @@ def main():
     rows = []
 
     def run(name, api, Qs, Ks, Vs, dtype, *, backward=False, seq_dims=1,
-            rule_kind="full", rule_kwargs=None, **api_kwargs):
+            rule_kind="full", rule_kwargs=None, check=True, **api_kwargs):
         rule_kwargs = rule_kwargs or {}
         Q, K, V = data(Qs, dtype), data(Ks, dtype), data(Vs, dtype)
         fwd = lambda Q, K, V: api(Q, K, V, **api_kwargs)
 
-        # parity vs the dense oracle at fp32
         o = fwd(Q, K, V)
-        o_ref = api(Q.astype(jnp.float32), K.astype(jnp.float32),
-                    V.astype(jnp.float32), implementation="xla", **api_kwargs)
         k_len = int(np.prod(Ks[-seq_dims:]))
-        err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref)))
-        base = 1e-3 if jnp.dtype(dtype).itemsize == 2 else 1e-6
-        tol = base * k_len
-        ok = "OK " if err <= tol else "FAIL"
+        if check:
+            # parity vs the dense oracle at fp32 (the oracle materialises
+            # the dense q_len x k_len mask, so long-seq entries skip it)
+            o_ref = api(Q.astype(jnp.float32), K.astype(jnp.float32),
+                        V.astype(jnp.float32), implementation="xla", **api_kwargs)
+            err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref)))
+            base = 1e-3 if jnp.dtype(dtype).itemsize == 2 else 1e-6
+            tol = base * k_len
+            ok = "OK " if err <= tol else "FAIL"
+        else:
+            err, tol, ok = float("nan"), float("nan"), "-- "
 
         # analytic MXU FLOPs over the kernel's own schedule/blocks
         q_seq, k_seq = Qs[-seq_dims:], Ks[-seq_dims:]
@@ -147,13 +151,13 @@ def main():
     for S, B in ((1024, 8), (4096, 8), (16384, 2), (65536, 1)):
         run(f"causal_1d bf16 seq sweep S={S} B={B}", fa.causal_1d,
             (B, 128, S), (B, 128, S), (B, 128, S), jnp.bfloat16,
-            rule_kind="causal", sync_mode="none_front")
+            rule_kind="causal", sync_mode="none_front", check=(S <= 4096))
     run("local_1d bf16 w=512 S=65536 (block-skip payoff)", fa.local_1d,
         (1, 128, 65536), (1, 128, 65536), (1, 128, 65536), jnp.bfloat16,
         rule_kind="local",
         rule_kwargs=dict(window_size=512, log2_stride_size=0, is_causal=True),
         window_size=512, log2_stride_size=0, is_causal=True,
-        sync_mode="none_front")
+        sync_mode="none_front", check=False)
 
     print("\n5. decode serving: run  FA_BENCH_MODE=decode python bench.py")
     bad = [r for r in rows if r[5] == "FAIL"]

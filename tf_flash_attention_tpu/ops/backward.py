@@ -59,17 +59,19 @@ from .kernel_common import (
 __all__ = ["flash_backward"]
 
 
-def _recompute_p(q, k, m2_row, l_row, mask, scale):
+def _recompute_p(q, k, m2_row, l_row, mask):
     """Recompute normalised probabilities for one (bq, bk) tile.
 
-    Same log2-domain evaluation as the forward kernel: ``m2_row`` is the
-    stored row max pre-multiplied by log2(e) (and clamped to the masking
-    floor) on the XLA side.  ``exp2`` runs at bf16 for 16-bit inputs.
+    Same log2-domain evaluation as the forward kernel: ``q`` arrives
+    pre-scaled by ``scale*log2(e)`` (folded into the small (bq, d) tile or
+    into the XLA-side pad, never a per-logit-tile multiply) and ``m2_row``
+    is the stored row max pre-multiplied by log2(e) (and clamped to the
+    masking floor) on the XLA side.
     """
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=dot_precision(q.dtype),
-    ) * jnp.float32(scale * LOG2E)
+    )
     if mask is not None:
         s = jnp.where(mask, s, NEG_INF_F32)
     p = jnp.exp2(s - m2_row)
@@ -114,14 +116,19 @@ def _dq_kernel(
         l_row = stats[:, 0:1]
         m_row = stats[:, 1:2]
         delta_row = stats[:, 2:3]
-        p = _recompute_p(q_ref[0], k_ref[0], m_row, l_row, mask, scale)
+        # q arrives pre-scaled by scale*log2(e) (XLA-side; it feeds only the
+        # P recompute in this kernel).
+        p = _recompute_p(q_ref[0], k_ref[0], m_row, l_row, mask)
 
         dp = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=dot_precision(v_ref.dtype),
         )
-        ds = p * (dp - delta_row) * jnp.float32(scale)
+        # dS's *scale factor is deferred to the fp32 accumulator finalize —
+        # one (bq, d) multiply per q block instead of one (bq, bk) multiply
+        # per tile.
+        ds = p * (dp - delta_row)
         dq_acc[...] += jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -146,7 +153,7 @@ def _dq_kernel(
 
     @pl.when(step == num_steps - 1)
     def _finalize():
-        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+        dq_ref[0] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
@@ -176,7 +183,10 @@ def _dkv_kernel(
         l_row = stats[:, 0:1]
         m_row = stats[:, 1:2]
         delta_row = stats[:, 2:3]
-        p = _recompute_p(q_ref[0], k_ref[0], m_row, l_row, mask, scale)
+        # k arrives pre-scaled by scale*log2(e) (XLA-side; it feeds only the
+        # P recompute in this kernel — dK is an output, and the dK GEMM
+        # consumes unscaled q).
+        p = _recompute_p(q_ref[0], k_ref[0], m_row, l_row, mask)
 
         # dV += Pᵀ · dO
         dv_acc[...] += jax.lax.dot_general(
@@ -184,13 +194,14 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
             precision=dot_precision(do_ref.dtype),
         )
-        # dS = P ∘ (dO·Vᵀ − D) · scale
+        # dS = P ∘ (dO·Vᵀ − D); the *scale factor is deferred to the fp32
+        # accumulator finalize (one (bk, d) multiply per kv block).
         dp = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=dot_precision(v_ref.dtype),
         )
-        ds = p * (dp - delta_row) * jnp.float32(scale)
+        ds = p * (dp - delta_row)
         # dK += dSᵀ · Q
         dk_acc[...] += jax.lax.dot_general(
             ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
@@ -216,7 +227,7 @@ def _dkv_kernel(
 
     @pl.when(step == num_steps - 1)
     def _finalize():
-        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dk_ref[0] = (dk_acc[...] * jnp.float32(scale)).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
@@ -267,7 +278,13 @@ def flash_backward(
     stats = jnp.stack([l.astype(jnp.float32), m2, delta], axis=-1)
     stats = jnp.pad(stats, ((0, 0), (0, 0), (0, STATS_LANES - 3)))
 
-    def padded(x, seq_to, feat_to=None):
+    def padded(x, seq_to, feat_to=None, prescale=False):
+        if prescale:
+            # Fold scale*log2(e) into the tensor feeding the P-recompute
+            # matmul (q for the dQ kernel, k for the dK/dV kernel): one
+            # fused XLA pass, mirroring the forward kernel's prescaled Q.
+            x = (x.astype(jnp.float32)
+                 * jnp.float32(scale * LOG2E)).astype(x.dtype)
         pads = [(0, 0), (0, seq_to - x.shape[1])]
         pads.append((0, (feat_to - x.shape[2]) if feat_to else 0))
         return jnp.pad(x, pads)
@@ -314,7 +331,7 @@ def flash_backward(
         interpret=interpret,
     )(jnp.asarray(sched.kv_table), jnp.asarray(sched.kv_counts),
       jnp.asarray(sched.needs_mask),
-      padded(q, q_pad_len, d_pad), padded(k, k_pad_len, d_pad),
+      padded(q, q_pad_len, d_pad, prescale=True), padded(k, k_pad_len, d_pad),
       padded(v, k_pad_len, v_d_pad), padded(do, q_pad_len, v_d_pad),
       padded(stats, q_pad_len))[0]
 
@@ -364,7 +381,7 @@ def flash_backward(
         interpret=interpret,
     )(jnp.asarray(sched_t.kv_table), jnp.asarray(sched_t.kv_counts),
       jnp.asarray(sched_t.needs_mask),
-      padded(k, k_pad2, d_pad), padded(v, k_pad2, v_d_pad),
+      padded(k, k_pad2, d_pad, prescale=True), padded(v, k_pad2, v_d_pad),
       padded(q, q_pad2, d_pad), padded(do, q_pad2, v_d_pad),
       padded(stats, q_pad2))
 

@@ -62,7 +62,6 @@ def _fwd_kernel(
     *,
     pack: SyncPack,
     rule: MaskRule,
-    scale: float,
     q_len: int,
     k_len: int,
     q_len_padded: int,
@@ -95,13 +94,14 @@ def _fwd_kernel(
             q = q_ref[0, qs, :]
             for j in range(block_kv // kv_compute):
                 sl = slice(j * kv_compute, (j + 1) * kv_compute)
+                # Q arrives pre-scaled by scale*log2(e) (one fused XLA pass
+                # over the (B, q, d) tensor), so the matmul lands directly in
+                # log2-domain logits — no per-(bq, bk)-tile VPU multiply.
                 s = jax.lax.dot_general(
                     q, k_ref[0, sl, :], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=dot_precision(q.dtype),
                 )
-                # log2-domain logits: one multiply covers 1/sqrt(d), log2(e)
-                s = s * jnp.float32(scale * LOG2E)
                 if masked:
                     kb = table_ref[qi, step]
                     q_pos = qi * block_q + jq * q_compute + jax.lax.broadcasted_iota(
@@ -219,7 +219,13 @@ def flash_forward(
     d_pad = pad_to(d, LANE)
     v_d_pad = pad_to(v_d, LANE)
 
-    qp = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, d_pad - d)))
+    # Fold scale and the log2(e) domain change into Q itself: one fused XLA
+    # elementwise pass over the smallest tensor involved, replacing a
+    # per-(bq, bk)-logit-tile VPU multiply inside the kernel's hot loop.
+    # (The reference scales logits post-matmul per tile,
+    # flash_attention.cu:915-947.)
+    q_scaled = (q.astype(jnp.float32) * jnp.float32(scale * LOG2E)).astype(in_dtype)
+    qp = jnp.pad(q_scaled, ((0, 0), (0, q_pad - q_len), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, k_pad - k_len), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, k_pad - k_len), (0, v_d_pad - v_d)))
 
@@ -230,7 +236,6 @@ def flash_forward(
         _fwd_kernel,
         pack=pack,
         rule=rule,
-        scale=float(scale),
         q_len=q_len,
         k_len=k_len,
         q_len_padded=q_pad,

@@ -39,8 +39,15 @@ def device_time(fn, args, n: int = 20, reps: int = 3) -> float:
         def body(carry, _):
             perturbed = (args[0] * (1.0 + carry * 1e-30)).astype(args[0].dtype)
             out = fn(*((perturbed,) + tuple(args[1:])))
-            first = out[0] if isinstance(out, (tuple, list)) else out
-            return first.ravel()[0].astype(jnp.float32), None
+            # The carry must depend on EVERY output leaf — otherwise XLA
+            # dead-code-eliminates whole sub-computations of multi-output
+            # functions (e.g. the dK/dV kernel of a backward pass) and the
+            # measurement silently covers only part of the work.
+            leaves = jax.tree_util.tree_leaves(out)
+            acc = jnp.float32(0)
+            for leaf in leaves:
+                acc = acc + leaf.ravel()[0].astype(jnp.float32)
+            return acc, None
 
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
         return c

@@ -175,3 +175,101 @@ def test_ring_attention_local_rule(eight_devices, rule):
     for a, b in zip(vjp_r(do), vjp_l(do)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Ulysses (all-to-all) sequence parallelism
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("rule,sync", [
+    (CausalRule(), "none_front"),
+    (FullRule(), "none_front"),
+    (LocalRule(window_size=24, is_causal=True), "none_front"),
+    (LocalRule(window_size=10, log2_stride_size=1), "scale_front"),
+    (CausalRule(), "scale_end"),
+], ids=["causal", "full", "local-causal", "local-strided-scalefront",
+        "causal-scaleend"])
+def test_ulysses_matches_local(eight_devices, rule, sync):
+    """Ulysses fwd + grads vs the single-device kernel.  Unlike the ring,
+    every rule x sync-mode combination must work unchanged (each chip sees
+    the full sequence after the all-to-all); scale modes use q_len != k_len
+    so the order maps actually rescale."""
+    from tf_flash_attention_tpu.ops.attend import AttendParams, attend
+    from tf_flash_attention_tpu.parallel import ulysses_flash_attention
+    from tf_flash_attention_tpu.sync_modes import make_sync_pack
+
+    mesh = make_mesh((1, 1, 8), ("data", "model", "context"), eight_devices)
+    sq = 256 if sync == "none_front" else 128
+    skv = 256
+    q = data(b=1, h=8, s=sq, d=16)[0]
+    _, k, v = data(b=1, h=8, s=skv, d=16, seed=1)
+    do = data(b=1, h=8, s=sq, d=16, seed=3)[0]
+
+    uly = ulysses_flash_attention(mesh, rule, sync_mode=sync,
+                                  block_config=BLOCKS)
+    o_u, vjp_u = jax.vjp(lambda *a: uly(*a), q, k, v)
+
+    pack = make_sync_pack(sync, (sq,), (skv,))
+    params = AttendParams(pack=pack, rule=rule, config=BLOCKS,
+                          scale=1.0 / np.sqrt(16), interpret=True)
+    def local(qq, kk, vv):
+        b, h, _, d = qq.shape
+        o = attend(qq.reshape(b * h, sq, d), kk.reshape(b * h, skv, d),
+                   vv.reshape(b * h, skv, d), params)[0]
+        return o.reshape(b, h, sq, d)
+    o_l, vjp_l = jax.vjp(local, q, k, v)
+    np.testing.assert_allclose(np.asarray(o_u), np.asarray(o_l),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(vjp_u(do), vjp_l(do)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_gqa_and_mixed_mesh(eight_devices):
+    """GQA (kv heads < q heads) on a data x model x context mesh."""
+    from tf_flash_attention_tpu.parallel import ulysses_flash_attention
+
+    mesh = make_mesh((2, 2, 2), ("data", "model", "context"), eight_devices)
+    q = data(b=2, h=8, s=128, d=16)[0]
+    _, k, v = data(b=2, h=4, s=128, d=16, seed=1)
+    uly = ulysses_flash_attention(mesh, CausalRule(), block_config=BLOCKS)
+    o_u = uly(q, k, v)
+    o_l = mha(q, k, v, rule=CausalRule(), block_config=BLOCKS)
+    np.testing.assert_allclose(np.asarray(o_u), np.asarray(o_l),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_2d_sequences(eight_devices):
+    """2d sequences, row-slab sharded: full flattened sequence is restored
+    by the all-to-all, so 2d order arithmetic needs no shard offsets."""
+    from tf_flash_attention_tpu.parallel import ulysses_flash_attention
+    from tf_flash_attention_tpu.ops.attend import AttendParams, attend
+    from tf_flash_attention_tpu.sync_modes import make_sync_pack
+
+    mesh = make_mesh((1, 1, 8), ("data", "model", "context"), eight_devices)
+    s0, s1 = 32, 8
+    s = s0 * s1
+    rule = LocalRule(window_size=6, is_causal=True)
+    q, k, v = data(b=1, h=8, s=s, d=16)
+    uly = ulysses_flash_attention(mesh, rule, q_seq_shape=(s0, s1),
+                                  k_seq_shape=(s0, s1), block_config=BLOCKS)
+    o_u = uly(q, k, v)
+
+    pack = make_sync_pack("none_front", (s0, s1), (s0, s1))
+    params = AttendParams(pack=pack, rule=rule, config=BLOCKS,
+                          scale=1.0 / np.sqrt(16), interpret=True)
+    b, h, _, d = q.shape
+    o_l = attend(q.reshape(b * h, s, d), k.reshape(b * h, s, d),
+                 v.reshape(b * h, s, d), params)[0].reshape(b, h, s, d)
+    np.testing.assert_allclose(np.asarray(o_u), np.asarray(o_l),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_head_divisibility_error(eight_devices):
+    from tf_flash_attention_tpu.parallel import ulysses_flash_attention
+
+    mesh = make_mesh((1, 1, 8), ("data", "model", "context"), eight_devices)
+    q, k, v = data(b=1, h=4, s=256, d=16)  # 4 heads < 8-way context axis
+    uly = ulysses_flash_attention(mesh, CausalRule(), block_config=BLOCKS)
+    with pytest.raises(ValueError, match="ring attention"):
+        uly(q, k, v)

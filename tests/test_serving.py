@@ -155,3 +155,75 @@ def test_fp8_cache_roundtrip_accuracy():
     ref = np.einsum("hgt,htd->hgd", p, np.asarray(v)).reshape(4, 32)
     err = np.abs(np.asarray(o[0]) - ref).max()
     assert err < 4e-2, err  # fp8-e4m3 quantization tolerance
+
+
+# ---------------------------------------------------------------------------
+# Sampling (temperature / top-k / top-p) and EOS stop
+# ---------------------------------------------------------------------------
+
+def test_sample_tokens_rules():
+    from tf_flash_attention_tpu.serving.sampling import sample_tokens
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros(4)
+    o = jnp.ones(4)
+
+    # temperature 0 -> greedy
+    got = sample_tokens(logits, key, z, jnp.zeros(4, jnp.int32), o)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(jnp.argmax(logits, -1)))
+    # top_k = 1 -> greedy at any temperature
+    got = sample_tokens(logits, key, o * 5.0, jnp.ones(4, jnp.int32), o)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(jnp.argmax(logits, -1)))
+    # tiny top_p -> greedy (only the best token survives the nucleus)
+    got = sample_tokens(logits, key, o * 5.0, jnp.zeros(4, jnp.int32),
+                        o * 1e-6)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(jnp.argmax(logits, -1)))
+    # top_k = 8: every sample lands inside the per-slot top-8 set
+    k8 = jnp.full((4,), 8, jnp.int32)
+    top8 = np.argsort(-np.asarray(logits), axis=-1)[:, :8]
+    for i in range(20):
+        got = np.asarray(sample_tokens(
+            logits, jax.random.fold_in(key, i), o * 1.3, k8, o))
+        for s in range(4):
+            assert got[s] in top8[s]
+    # determinism: same key -> same tokens
+    a = sample_tokens(logits, key, o, k8, o * 0.9)
+    b = sample_tokens(logits, key, o, k8, o * 0.9)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # per-slot mixing: slot 0 greedy, others sampled
+    temps = jnp.asarray([0.0, 1.0, 1.0, 1.0])
+    got = np.asarray(sample_tokens(logits, key, temps,
+                                   jnp.zeros(4, jnp.int32), o))
+    assert got[0] == int(jnp.argmax(logits[0]))
+
+
+def test_engine_sampling_and_eos():
+    from tf_flash_attention_tpu.serving.sampling import SamplingParams
+
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_seqs=2, page_size=64, n_pages=16,
+                        max_pages_per_seq=4, quantized_kv=False,
+                        prefill_buckets=(64,), seed=7)
+    eng = DecodeEngine(MCFG, params, ecfg)
+    r_greedy = eng.submit([1, 2, 3], max_new_tokens=5)
+    r_sampled = eng.submit([1, 2, 3], max_new_tokens=5,
+                           sampling=SamplingParams(temperature=1.0, top_k=10))
+    results = eng.run(max_steps=50)
+    # greedy slot matches the dense greedy oracle even while co-batched
+    # with a sampled request
+    assert results[r_greedy] == greedy_dense(params, [1, 2, 3], 5)
+    assert len(results[r_sampled]) == 3 + 5
+    assert all(0 <= t < MCFG.vocab for t in results[r_sampled])
+
+    # EOS stop: force eos_id to the greedy continuation's first token so
+    # the request retires after one generated token
+    first = greedy_dense(params, [1, 2, 3], 1)[-1]
+    eng2 = DecodeEngine(MCFG, params, ecfg)
+    rid = eng2.submit([1, 2, 3], max_new_tokens=8, eos_id=first)
+    results2 = eng2.run(max_steps=50)
+    assert results2[rid] == [1, 2, 3, first]

@@ -35,6 +35,7 @@ from .kv_cache import (
     assign_page,
     write_prompt,
 )
+from .sampling import SamplingParams, sample_tokens
 from .scheduler import Request, Scheduler
 
 __all__ = ["EngineConfig", "DecodeEngine"]
@@ -48,6 +49,7 @@ class EngineConfig:
     max_pages_per_seq: int = 16
     quantized_kv: bool = True
     prefill_buckets: tuple = (128, 512)
+    seed: int = 0               # PRNG seed for sampled requests
 
 
 def _rope_at(x, pos, theta):
@@ -91,11 +93,15 @@ class DecodeEngine:
         self._next_rid = 0
         self._results: Dict[int, List[int]] = {}
         self._prompts: Dict[int, List[int]] = {}
+        self._sampling: Dict[int, tuple] = {}
         self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(1,))
         self._prefill = {
             b: jax.jit(functools.partial(self._prefill_impl, b))
             for b in engine_cfg.prefill_buckets
         }
+        self._base_key = jax.random.PRNGKey(engine_cfg.seed)
+        self._step_counter = 0
+        self._sample1 = jax.jit(sample_tokens)
 
     # ---- compiled model functions ----
 
@@ -128,8 +134,11 @@ class DecodeEngine:
         last = logits[true_len - 1]
         return last, kvs
 
-    def _decode_step_impl(self, params, caches, tokens, active):
-        """One token for every slot.  tokens (S,) int32, active (S,) bool."""
+    def _decode_step_impl(self, params, caches, tokens, active,
+                          temps, top_ks, top_ps, key):
+        """One token for every slot.  tokens (S,) int32, active (S,) bool;
+        ``temps/top_ks/top_ps`` carry per-slot sampling parameters
+        (continuous batching mixes greedy and sampled requests)."""
         cfg = self.mcfg
         pos = caches[0].lengths  # positions of the new tokens
         x = params["embed"].astype(cfg.dtype)[tokens]  # (S, d_model)
@@ -149,17 +158,20 @@ class DecodeEngine:
             new_caches.append(cache)
         x = _rms_norm(x, params["final_norm"])
         logits = x @ params["embed"].astype(x.dtype).T
-        next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tokens = sample_tokens(logits, key, temps, top_ks, top_ps)
         return next_tokens, new_caches
 
     # ---- host-side serving loop ----
 
-    def submit(self, prompt: List[int], max_new_tokens: int = 16) -> int:
+    def submit(self, prompt: List[int], max_new_tokens: int = 16,
+               sampling: SamplingParams = SamplingParams(),
+               eos_id: Optional[int] = None) -> int:
         rid = self._next_rid
         self._next_rid += 1
         self.scheduler.enqueue(Request(rid, len(prompt), max_new_tokens))
         self._results[rid] = list(prompt)
         self._prompts[rid] = list(prompt)
+        self._sampling[rid] = (sampling, eos_id)
         return rid
 
     def _bucket_for(self, n: int) -> int:
@@ -182,14 +194,27 @@ class DecodeEngine:
                 self.caches[i] = write_prompt(
                     self.caches[i], self.ccfg, slot, np.asarray(pages),
                     k[:, : len(prompt)], v[:, : len(prompt)])
-            first_tok = int(jnp.argmax(last_logits))
+            sp, eos_id = self._sampling.pop(req.rid, (SamplingParams(), None))
+            if sp.temperature > 0:
+                first_tok = int(self._sample1(
+                    last_logits[None],
+                    jax.random.fold_in(self._base_key, req.rid),
+                    jnp.asarray([sp.temperature], jnp.float32),
+                    jnp.asarray([sp.top_k], jnp.int32),
+                    jnp.asarray([sp.top_p], jnp.float32))[0])
+            else:
+                first_tok = int(jnp.argmax(last_logits))
             self._results[req.rid].append(first_tok)
             self._slots[slot] = {
                 "rid": req.rid,
                 "remaining": req.max_new_tokens - 1,
                 "last": first_tok,
                 "length": len(prompt),
+                "sampling": sp,
+                "eos_id": eos_id,
             }
+            if eos_id is not None and first_tok == eos_id:
+                self._slots[slot]["remaining"] = 0
 
     def _ensure_capacity(self):
         for slot, st in enumerate(self._slots):
@@ -223,14 +248,25 @@ class DecodeEngine:
         """Admit, decode one token for all active slots, retire.  Returns
         the number of tokens produced this step."""
         self._admit()
+        # requests finished at prefill (EOS as first token, or
+        # max_new_tokens == 1) retire before consuming a decode step
+        self._retire()
         if self.num_active == 0:
             return 0
         self._ensure_capacity()
         tokens = jnp.asarray(
             [st["last"] if st else 0 for st in self._slots], jnp.int32)
         active = jnp.asarray([st is not None for st in self._slots])
+        dflt = SamplingParams()
+        sps = [st["sampling"] if st else dflt for st in self._slots]
+        temps = jnp.asarray([sp.temperature for sp in sps], jnp.float32)
+        top_ks = jnp.asarray([sp.top_k for sp in sps], jnp.int32)
+        top_ps = jnp.asarray([sp.top_p for sp in sps], jnp.float32)
+        key = jax.random.fold_in(self._base_key, 0x5A0 + self._step_counter)
+        self._step_counter += 1
         next_tokens, self.caches = self._decode_step(
-            self.params, self.caches, tokens, active)
+            self.params, self.caches, tokens, active, temps, top_ks, top_ps,
+            key)
         produced = 0
         next_host = np.asarray(next_tokens)
         for slot, st in enumerate(self._slots):
@@ -241,6 +277,8 @@ class DecodeEngine:
             st["last"] = tok
             st["length"] += 1
             st["remaining"] -= 1
+            if st["eos_id"] is not None and tok == st["eos_id"]:
+                st["remaining"] = 0
             produced += 1
         self._retire()
         return produced

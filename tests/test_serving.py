@@ -227,3 +227,132 @@ def test_engine_sampling_and_eos():
     rid = eng2.submit([1, 2, 3], max_new_tokens=8, eos_id=first)
     results2 = eng2.run(max_steps=50)
     assert results2[rid] == [1, 2, 3, first]
+
+
+# ---- chunked prefill + prefix caching ----
+
+def _dense_causal_ref(k_hist, v_hist, q, start):
+    """Oracle: rows i of q attend keys 0..start+i (inclusive)."""
+    n_kv, total, d = k_hist.shape
+    chunk, n_q, _ = q.shape
+    g = n_q // n_kv
+    qg = np.asarray(q).reshape(chunk, n_kv, g, d)
+    s = np.einsum("chgd,htd->chgt", qg, np.asarray(k_hist)) / np.sqrt(d)
+    kv_pos = np.arange(total)
+    mask = kv_pos[None, :] <= (start + np.arange(chunk))[:, None]
+    s = np.where(mask[:, None, None, :], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("chgt,htd->chgd", p, np.asarray(v_hist)).reshape(chunk, n_q, d)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_prefill_matches_dense(quantized):
+    from tf_flash_attention_tpu.serving.kv_cache import write_tokens_at
+    from tf_flash_attention_tpu.serving.prefill import paged_prefill_attention
+
+    rng = np.random.default_rng(3)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=64, n_pages=16,
+                        max_seqs=2, max_pages_per_seq=4, quantized=quantized,
+                        dtype=jnp.float32)
+    cache = PagedKVCache.create(cfg)
+    alloc = PageAllocator(cfg.n_pages - 1)
+    start, chunk, true = 70, 48, 40
+    k_hist = jnp.asarray(rng.uniform(-1, 1, (2, start, 32)), jnp.float32)
+    v_hist = jnp.asarray(rng.uniform(-1, 1, (2, start, 32)), jnp.float32)
+    pages = alloc.alloc(0, 2)  # covers ceil((70+40)/64) = 2 pages
+    cache = write_prompt(cache, cfg, 0, np.array(pages), k_hist, v_hist)
+
+    k_new = jnp.asarray(rng.uniform(-1, 1, (2, chunk, 32)), jnp.float32)
+    v_new = jnp.asarray(rng.uniform(-1, 1, (2, chunk, 32)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-1, 1, (chunk, 4, 32)), jnp.float32)
+    cache = write_tokens_at(cache, cfg, 0, start, k_new, v_new, true,
+                            trash_page=cfg.n_pages - 1)
+    assert int(cache.lengths[0]) == start + true
+    o = paged_prefill_attention(q, cache, cfg, 0, start, true)
+
+    k_all = jnp.concatenate([k_hist, k_new[:, :true]], axis=1)
+    v_all = jnp.concatenate([v_hist, v_new[:, :true]], axis=1)
+    ref = _dense_causal_ref(k_all, v_all, q[:true], start)
+    tol = 4e-2 if quantized else 2e-5
+    err = np.abs(np.asarray(o[:true]) - ref).max()
+    assert err < tol, err
+
+
+def test_write_tokens_at_matches_write_prompt():
+    """Chunked positional writes produce the same pages as the bulk write."""
+    from tf_flash_attention_tpu.serving.kv_cache import write_tokens_at
+
+    rng = np.random.default_rng(4)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=32, n_pages=8,
+                        max_seqs=1, max_pages_per_seq=4, quantized=False,
+                        dtype=jnp.float32)
+    t = 90
+    k = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    pages = np.array([3, 1, 5])
+
+    bulk = PagedKVCache.create(cfg)
+    bulk = write_prompt(bulk, cfg, 0, pages, k, v)
+
+    chunked = PagedKVCache.create(cfg)
+    chunked = dataclasses.replace(
+        chunked, page_tables=chunked.page_tables.at[0, :3].set(
+            jnp.asarray(pages, jnp.int32)))
+    # uneven chunk boundaries crossing pages, with padding on the last chunk
+    for start, n in ((0, 40), (40, 40), (80, 10)):
+        pad = 40 - n
+        kc = jnp.pad(k[:, start:start + n], ((0, 0), (0, pad), (0, 0)))
+        vc = jnp.pad(v[:, start:start + n], ((0, 0), (0, pad), (0, 0)))
+        chunked = write_tokens_at(chunked, cfg, 0, start, kc, vc, n,
+                                  trash_page=cfg.n_pages - 1)
+    np.testing.assert_array_equal(np.asarray(bulk.lengths), np.asarray(chunked.lengths))
+    for p in pages:
+        np.testing.assert_allclose(np.asarray(bulk.k_pages[:, p]),
+                                   np.asarray(chunked.k_pages[:, p]), rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(bulk.v_pages[:, p]),
+                                   np.asarray(chunked.v_pages[:, p]), rtol=0, atol=0)
+
+
+def test_engine_chunked_matches_dense_greedy():
+    """Chunked prefill (multi-chunk, partial pages) == dense greedy."""
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_seqs=3, page_size=64, n_pages=32,
+                        max_pages_per_seq=4, quantized_kv=False,
+                        prefill_mode="chunked", prefill_chunk=8,
+                        prefix_caching=False)
+    eng = DecodeEngine(MCFG, params, ecfg)
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17],
+               [10, 11, 12, 13]]
+    rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    results = eng.run(max_steps=50)
+    for rid, prompt in zip(rids, prompts):
+        want = greedy_dense(params, prompt, 6)
+        assert results[rid] == want, (results[rid], want)
+
+
+def test_prefix_cache_reuse_refcounts_and_eviction():
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_seqs=2, page_size=8, n_pages=32,
+                        max_pages_per_seq=8, quantized_kv=False,
+                        prefill_mode="chunked", prefill_chunk=8,
+                        prefix_caching=True)
+    eng = DecodeEngine(MCFG, params, ecfg)
+    prefix = [(i * 7) % MCFG.vocab for i in range(16)]  # 2 full pages
+    p1 = prefix + [1]
+    p2 = prefix + [2, 3]
+    # both live at once: the second shares the first's prefix pages while
+    # the first is still decoding, and survives the first's retirement
+    r1 = eng.submit(p1, max_new_tokens=6)
+    r2 = eng.submit(p2, max_new_tokens=8)
+    results = eng.run(max_steps=60)
+    assert eng.prefix_cache.hits >= 1
+    assert results[r1] == greedy_dense(params, p1, 6)
+    assert results[r2] == greedy_dense(params, p2, 8)
+    # all slots retired: only the registry's references remain
+    assert len(eng.prefix_cache) == 2
+    free_before = eng.allocator.free_pages
+    assert free_before == (ecfg.n_pages - 1) - 2
+    # eviction releases the registry pages back to the free list
+    eng.prefix_cache.evict(eng.allocator, ecfg.n_pages)
+    assert eng.allocator.free_pages == ecfg.n_pages - 1

@@ -29,12 +29,14 @@ from ..parallel.sharded import mha
 from .decode import paged_decode_attention
 from .kv_cache import (
     KVCacheConfig,
-    PageAllocator,
     PagedKVCache,
     append_tokens_batched,
     assign_page,
     write_prompt,
+    write_tokens_at,
 )
+from .prefill import paged_prefill_attention
+from .prefix_cache import PrefixCache, SharedPageAllocator
 from .sampling import SamplingParams, sample_tokens
 from .scheduler import Request, Scheduler
 
@@ -50,6 +52,13 @@ class EngineConfig:
     quantized_kv: bool = True
     prefill_buckets: tuple = (128, 512)
     seed: int = 0               # PRNG seed for sampled requests
+    # "chunked": prompts run prefill_chunk tokens at a time through the
+    # paged prefill kernel (bounded step latency; enables prefix caching).
+    # "bucketed": whole prompt in one padded pass through the training
+    # kernel (legacy path, kept as a cross-check).
+    prefill_mode: str = "chunked"
+    prefill_chunk: int = 128
+    prefix_caching: bool = True  # chunked mode only
 
 
 def _rope_at(x, pos, theta):
@@ -86,7 +95,11 @@ class DecodeEngine:
         self.caches: List[PagedKVCache] = [
             PagedKVCache.create(self.ccfg) for _ in range(model_cfg.n_layers)
         ]
-        self.allocator = PageAllocator(engine_cfg.n_pages - 1)  # exclude trash
+        self.allocator = SharedPageAllocator(engine_cfg.n_pages - 1)  # exclude trash
+        self.prefix_cache = (
+            PrefixCache(engine_cfg.page_size)
+            if engine_cfg.prefix_caching and engine_cfg.prefill_mode == "chunked"
+            else None)
         self.scheduler = Scheduler(engine_cfg.max_seqs, engine_cfg.n_pages - 1,
                                    engine_cfg.page_size)
         self._slots: List[Optional[dict]] = [None] * engine_cfg.max_seqs
@@ -99,6 +112,7 @@ class DecodeEngine:
             b: jax.jit(functools.partial(self._prefill_impl, b))
             for b in engine_cfg.prefill_buckets
         }
+        self._chunk_prefill = jax.jit(self._chunk_prefill_impl, donate_argnums=(1,))
         self._base_key = jax.random.PRNGKey(engine_cfg.seed)
         self._step_counter = 0
         self._sample1 = jax.jit(sample_tokens)
@@ -133,6 +147,39 @@ class DecodeEngine:
         logits = (x @ params["embed"].astype(x.dtype).T)[0]  # (bucket, vocab)
         last = logits[true_len - 1]
         return last, kvs
+
+    def _chunk_prefill_impl(self, params, caches, tokens, slot, start, true_len):
+        """One prefill chunk: tokens (chunk,) at absolute positions
+        ``start..start+chunk`` of sequence ``slot``, attending to the paged
+        cache (which may hold a shared cached prefix).  ``slot``/``start``/
+        ``true_len`` are traced, so this compiles once."""
+        cfg = self.mcfg
+        chunk = tokens.shape[0]
+        pos = jnp.asarray(start, jnp.int32) + jnp.arange(chunk, dtype=jnp.int32)
+        x = params["embed"].astype(cfg.dtype)[tokens]          # (chunk, d_model)
+        new_caches = []
+        for layer, cache in zip(params["layers"], caches):
+            h = _rms_norm(x, layer["ln1"])
+            q = (h @ layer["wq"].astype(h.dtype)).reshape(chunk, cfg.n_heads, cfg.d_head)
+            k = (h @ layer["wk"].astype(h.dtype)).reshape(chunk, cfg.n_kv_heads, cfg.d_head)
+            v = (h @ layer["wv"].astype(h.dtype)).reshape(chunk, cfg.n_kv_heads, cfg.d_head)
+            q = _rope_at(q, pos, cfg.rope_theta)
+            k = _rope_at(k, pos, cfg.rope_theta)
+            cache = write_tokens_at(
+                cache, self.ccfg, slot, start,
+                jnp.swapaxes(k, 0, 1), jnp.swapaxes(v, 0, 1),
+                true_len, self.trash_page)
+            o = paged_prefill_attention(
+                q, cache, self.ccfg, slot, start, true_len,
+                interpret=self.interpret)
+            x = x + o.reshape(chunk, -1).astype(x.dtype) @ layer["wo"].astype(x.dtype)
+            x = _mlp_block(cfg, layer, x[None])[0][0]
+            new_caches.append(cache)
+        x = _rms_norm(x, params["final_norm"])
+        logits = x @ params["embed"].astype(x.dtype).T         # (chunk, vocab)
+        last = jax.lax.dynamic_index_in_dim(
+            logits, jnp.asarray(true_len, jnp.int32) - 1, axis=0, keepdims=False)
+        return last, new_caches
 
     def _decode_step_impl(self, params, caches, tokens, active,
                           temps, top_ks, top_ps, key):
@@ -180,20 +227,71 @@ class DecodeEngine:
                 return b
         raise ValueError(f"prompt length {n} exceeds largest bucket")
 
+    def _prefill_bucketed(self, prompt: List[int], slot: int):
+        """Legacy prefill: whole prompt in one padded training-kernel pass."""
+        bucket = self._bucket_for(len(prompt))
+        tokens = jnp.asarray(
+            prompt + [0] * (bucket - len(prompt)), jnp.int32)
+        last_logits, kvs = self._prefill[bucket](
+            self.params, tokens, len(prompt))
+        n_pages = -(-len(prompt) // self.ecfg.page_size)
+        pages = self.allocator.alloc(slot, n_pages)
+        for i, (k, v) in enumerate(kvs):
+            self.caches[i] = write_prompt(
+                self.caches[i], self.ccfg, slot, np.asarray(pages),
+                k[:, : len(prompt)], v[:, : len(prompt)])
+        return last_logits
+
+    def _alloc_pages(self, slot: int, n: int):
+        """Allocate fresh pages, evicting LRU prefix-cache entries if dry."""
+        if (n > self.allocator.free_pages and self.prefix_cache is not None):
+            self.prefix_cache.evict(self.allocator, n)
+        return self.allocator.alloc(slot, n)
+
+    def _prefill_chunked(self, prompt: List[int], slot: int):
+        """Chunked prefill against the paged cache, reusing any cached
+        page-aligned prefix (shared refcounted pages)."""
+        ps = self.ecfg.page_size
+        n_prompt_pages = -(-len(prompt) // ps)
+        cached_tokens, cached_pages = 0, []
+        if self.prefix_cache is not None:
+            # always leave >= 1 token to prefill so there are logits to sample
+            cached_tokens, cached_pages = self.prefix_cache.lookup(
+                prompt, max_tokens=len(prompt) - 1)
+        if cached_pages:
+            self.allocator.share(slot, cached_pages)
+        fresh = self._alloc_pages(slot, n_prompt_pages - len(cached_pages))
+        pages = list(cached_pages) + fresh
+        for i in range(len(self.caches)):
+            c = self.caches[i]
+            self.caches[i] = dataclasses.replace(
+                c,
+                page_tables=c.page_tables.at[slot, :n_prompt_pages].set(
+                    jnp.asarray(pages, jnp.int32)),
+                lengths=c.lengths.at[slot].set(cached_tokens))
+        chunk = self.ecfg.prefill_chunk
+        start, last_logits = cached_tokens, None
+        while start < len(prompt):
+            n = min(chunk, len(prompt) - start)
+            toks = prompt[start:start + n] + [0] * (chunk - n)
+            last_logits, self.caches = self._chunk_prefill(
+                self.params, self.caches,
+                jnp.asarray(toks, jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(start, jnp.int32),
+                jnp.asarray(n, jnp.int32))
+            start += n
+        if self.prefix_cache is not None:
+            self.prefix_cache.insert(prompt, pages, self.allocator)
+        return last_logits
+
     def _admit(self):
         for req, slot in self.scheduler.admit():
             prompt = self._prompts.pop(req.rid)
-            bucket = self._bucket_for(len(prompt))
-            tokens = jnp.asarray(
-                prompt + [0] * (bucket - len(prompt)), jnp.int32)
-            last_logits, kvs = self._prefill[bucket](
-                self.params, tokens, len(prompt))
-            n_pages = -(-len(prompt) // self.ecfg.page_size)
-            pages = self.allocator.alloc(slot, n_pages)
-            for i, (k, v) in enumerate(kvs):
-                self.caches[i] = write_prompt(
-                    self.caches[i], self.ccfg, slot, np.asarray(pages),
-                    k[:, : len(prompt)], v[:, : len(prompt)])
+            if self.ecfg.prefill_mode == "chunked":
+                last_logits = self._prefill_chunked(prompt, slot)
+            else:
+                last_logits = self._prefill_bucketed(prompt, slot)
             sp, eos_id = self._sampling.pop(req.rid, (SamplingParams(), None))
             if sp.temperature > 0:
                 first_tok = int(self._sample1(
@@ -212,6 +310,10 @@ class DecodeEngine:
                 "length": len(prompt),
                 "sampling": sp,
                 "eos_id": eos_id,
+                # pages reserved in the scheduler budget at admission; the
+                # exact amount to hand back at retirement (shared prefix
+                # pages make the allocator's owned-count the wrong number)
+                "reserved": req.pages_needed(self.ecfg.page_size),
             }
             if eos_id is not None and first_tok == eos_id:
                 self._slots[slot]["remaining"] = 0
@@ -223,16 +325,15 @@ class DecodeEngine:
             # the upcoming append targets position `length`
             if st["length"] % self.ecfg.page_size == 0:
                 logical = st["length"] // self.ecfg.page_size
-                page = self.allocator.alloc(slot, 1)[0]
+                page = self._alloc_pages(slot, 1)[0]
                 for i in range(len(self.caches)):
                     self.caches[i] = assign_page(self.caches[i], slot, logical, page)
 
     def _retire(self):
         for slot, st in enumerate(self._slots):
             if st is not None and st["remaining"] <= 0:
-                pages = self.allocator.owned(slot)
                 self.allocator.free(slot)
-                self.scheduler.release(slot, len(pages))
+                self.scheduler.release(slot, st["reserved"])
                 # zero the slot length so dead slots skip all pages
                 for i in range(len(self.caches)):
                     self.caches[i] = dataclasses.replace(

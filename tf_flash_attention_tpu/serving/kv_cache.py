@@ -33,7 +33,7 @@ import numpy as np
 
 from ..block_sizes import LANE, pad_to
 
-__all__ = ["KVCacheConfig", "PagedKVCache", "PageAllocator"]
+__all__ = ["KVCacheConfig", "PagedKVCache", "PageAllocator", "write_tokens_at"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -186,6 +186,46 @@ def write_prompt(cache: PagedKVCache, cfg: KVCacheConfig, slot: int,
         k_pages=k_pages, v_pages=v_pages, k_scales=k_scales, v_scales=v_scales,
         page_tables=table,
         lengths=cache.lengths.at[slot].set(t),
+    )
+
+
+def write_tokens_at(cache: PagedKVCache, cfg: KVCacheConfig, slot, start,
+                    k: jax.Array, v: jax.Array, true_len,
+                    trash_page: int) -> PagedKVCache:
+    """Write a chunk of tokens at absolute position ``start`` (chunked prefill).
+
+    ``k, v``: (n_kv_heads, chunk, head_dim); ``slot``, ``start`` and
+    ``true_len`` are traced scalars so one compilation serves every chunk
+    of every prompt.  Rows past ``true_len`` (chunk padding) are routed to
+    the reserved ``trash_page`` so the scatter stays branch-free and never
+    touches unassigned pages.  The slot's length becomes
+    ``start + true_len``.
+    """
+    chunk = k.shape[1]
+    pos = jnp.asarray(start, jnp.int32) + jnp.arange(chunk, dtype=jnp.int32)
+    valid = jnp.arange(chunk) < true_len
+    logical = jnp.minimum(pos // cfg.page_size, cfg.max_pages_per_seq - 1)
+    phys = cache.page_tables[slot, logical]
+    phys = jnp.where(valid, phys, trash_page)
+    offset = pos % cfg.page_size
+
+    def scatter(pages, scales, new):
+        vals = _pad_feature(new, cfg.head_dim_store)      # (n_kv, chunk, d_store)
+        if cfg.quantized:
+            qv, sc = _quantize_tokens(vals, cfg.quant_dtype)
+            pages = pages.at[:, phys, offset, :].set(qv)
+            scales = scales.at[:, phys, 0, offset].set(sc[..., 0])
+            return pages, scales
+        return pages.at[:, phys, offset, :].set(vals.astype(pages.dtype)), scales
+
+    k_pages, k_scales = scatter(cache.k_pages, cache.k_scales, k)
+    v_pages, v_scales = scatter(cache.v_pages, cache.v_scales, v)
+    return dataclasses.replace(
+        cache,
+        k_pages=k_pages, v_pages=v_pages,
+        k_scales=k_scales, v_scales=v_scales,
+        lengths=cache.lengths.at[slot].set(
+            jnp.asarray(start, jnp.int32) + jnp.asarray(true_len, jnp.int32)),
     )
 
 

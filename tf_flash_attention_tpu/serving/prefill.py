@@ -1,0 +1,231 @@
+"""Paged prefill attention kernel (chunked prefill, q_len = chunk).
+
+The prefill counterpart of ``decode.paged_decode_attention``: a chunk of
+new query tokens for ONE sequence attends to that sequence's paged
+(optionally INT8/FP8-quantized) KV cache, causally.  This is the kernel
+behind vLLM-style *chunked prefill* and *prefix caching* in the engine
+(no reference counterpart — the reference, a stateless op library, has no
+serving runtime; SURVEY.md §5):
+
+* long prompts are processed ``prefill_chunk`` tokens at a time, so a
+  prompt never monopolises the chip for a full-sequence step — decode
+  steps for other sequences interleave between chunks (bounded step
+  latency, the point of chunked prefill);
+* a prompt whose page-aligned prefix is already cached (shared,
+  refcounted pages) starts at ``start = cached_len`` and only the suffix
+  is ever computed — prefix-cache hits skip both the FLOPs and the HBM
+  writes of the shared prefix.
+
+Kernel design mirrors the decode kernel (same page-table scalar-prefetch
+trick, same post-scaled dequantization, same head-batched dot_generals)
+but with a (g·chunk, d) query block instead of (g, d), which makes the
+per-page matmuls MXU-shaped: prefill is compute-bound, so unlike decode
+the kernel's job is to keep the (rows × d × page) GEMMs large, not to
+minimise per-step overhead.  Causality is a per-element predicate
+``kv_pos <= start + (row mod chunk)`` built from iotas — rule-based
+masking, never a mask tensor, as everywhere in this framework.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..block_sizes import LANE, VMEM_LIMIT, pad_to
+from ..ops.kernel_common import LOG2E, NEG_INF_F32
+from .kv_cache import KVCacheConfig, PagedKVCache
+
+__all__ = ["paged_prefill_attention"]
+
+
+def _prefill_kernel(
+    tables_ref, meta_ref,                         # scalar prefetch
+    q_ref, k_ref, ks_ref, v_ref, vs_ref,          # inputs
+    o_ref,                                        # output
+    acc_ref, m_scratch, l_scratch,                # scratch
+    *,
+    n_kv: int,
+    chunk: int,
+    page_size: int,
+    max_pages: int,
+    scale: float,
+    quantized: bool,
+):
+    # meta = [slot, live_page_count, total_len, start]
+    p = pl.program_id(0)
+
+    @pl.when(p == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF_F32)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(p < meta_ref[1])
+    def _compute():
+        total = meta_ref[2]
+        start = meta_ref[3]
+        kv_pos = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, page_size), 2)
+        # row r of the (g*chunk)-row query block is chunk-minor: its token
+        # sits at absolute position start + (r mod chunk)
+        q_pos = start + jax.lax.broadcasted_iota(
+            jnp.int32, (1, q_ref.shape[2], 1), 1) % chunk
+        mask = (kv_pos < total) & (kv_pos <= q_pos)
+
+        q = q_ref[0]                               # (n_kv, g*chunk, d)
+        k = k_ref[:, 0]                            # (n_kv, page, d)
+        v = v_ref[:, 0]
+        if quantized:
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q.astype(k.dtype), k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                          # (n_kv, g*chunk, page)
+        if quantized:
+            s = s * (ks_ref[:, 0] * jnp.float32(scale * LOG2E))
+        else:
+            s = s * jnp.float32(scale * LOG2E)
+        s = jnp.where(mask, s, NEG_INF_F32)
+
+        m_prev = m_scratch[:, :, :1]
+        l_prev = l_scratch[:, :, :1]
+        m_curr = jnp.max(s, axis=2, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        pw = jnp.exp2(s - m_next)
+        # a fully-masked (row, page) pair contributes nothing even when the
+        # row is globally masked (m_next stays at the finite NEG_INF approx)
+        pw = jnp.where(mask, pw, 0.0)
+        l_next = alpha * l_prev + jnp.sum(pw, axis=2, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+        if quantized:
+            pw = pw * vs_ref[:, 0]
+        pv = jax.lax.dot_general(
+            pw.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                          # (n_kv, g*chunk, d)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(p == max_pages - 1)
+    def _finalize():
+        l_col = l_scratch[:, :, :1]
+        l_safe = jnp.where(l_col == 0.0, 1.0, l_col)
+        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+
+
+def paged_prefill_attention(
+    q: jax.Array,
+    cache: PagedKVCache,
+    cfg: KVCacheConfig,
+    slot,
+    start,
+    true_len,
+    *,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """Causal attention of a prompt chunk against one sequence's paged cache.
+
+    ``q``: (chunk, n_q_heads, head_dim) — queries for tokens at absolute
+    positions ``start .. start+chunk``.  The chunk's own K/V must already
+    be written to the cache (``kv_cache.write_tokens_at``); ``true_len``
+    (a traced scalar) marks how many of the chunk's rows are real — rows
+    past it are padding whose output is garbage and must be sliced off by
+    the caller.  ``slot`` and ``start`` are traced scalars, so one
+    compilation serves every (slot, chunk position).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    chunk, n_q_heads, d = q.shape
+    n_kv = cfg.n_kv_heads
+    if n_q_heads % n_kv:
+        raise ValueError(f"q heads {n_q_heads} not a multiple of kv heads {n_kv}")
+    if chunk % 8:
+        raise ValueError(f"prefill chunk {chunk} must be a multiple of 8")
+    g = n_q_heads // n_kv
+    d_pad = cfg.head_dim_store
+    assert cache.k_pages.shape[-1] == d_pad, (cache.k_pages.shape, d_pad)
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+
+    # chunk-minor row layout: (chunk, n_kv, g, d) -> (n_kv, g*chunk, d)
+    qg = jnp.swapaxes(q.reshape(chunk, n_kv, g, d), 0, 1)   # (n_kv, chunk, g, d)
+    qg = jnp.swapaxes(qg, 1, 2).reshape(n_kv, g * chunk, d)
+    qg = jnp.pad(qg, ((0, 0), (0, 0), (0, d_pad - d)))[None]
+
+    total = jnp.asarray(start, jnp.int32) + jnp.asarray(true_len, jnp.int32)
+    count = -(-total // cfg.page_size)
+    meta = jnp.stack([
+        jnp.asarray(slot, jnp.int32), count.astype(jnp.int32),
+        total.astype(jnp.int32), jnp.asarray(start, jnp.int32)])
+
+    max_pages = cfg.max_pages_per_seq
+    quantized = cfg.quantized
+
+    def page_idx(p, t, m):
+        lp = jnp.maximum(0, jnp.minimum(p, m[1] - 1))
+        return (0, t[m[0], lp], 0, 0)
+
+    def q_idx(p, t, m):
+        return (0, 0, 0, 0)
+
+    kernel = functools.partial(
+        _prefill_kernel,
+        n_kv=n_kv,
+        chunk=chunk,
+        page_size=cfg.page_size,
+        max_pages=max_pages,
+        scale=float(scale),
+        quantized=quantized,
+    )
+
+    k_scales = cache.k_scales
+    v_scales = cache.v_scales
+    if not quantized:
+        k_scales = jnp.ones((n_kv, 1, 1, cfg.page_size), jnp.float32)
+        v_scales = k_scales
+
+    def scales_idx(p, t, m):
+        if quantized:
+            return page_idx(p, t, m)
+        return (0, 0, 0, 0)
+
+    rows = g * chunk
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(max_pages,),
+            in_specs=[
+                pl.BlockSpec((1, n_kv, rows, d_pad), q_idx),
+                pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
+                pl.BlockSpec((n_kv, 1, 1, cfg.page_size), scales_idx),
+                pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
+                pl.BlockSpec((n_kv, 1, 1, cfg.page_size), scales_idx),
+            ],
+            out_specs=[pl.BlockSpec((1, n_kv, rows, d_pad), q_idx)],
+            scratch_shapes=[
+                pltpu.VMEM((n_kv, rows, d_pad), jnp.float32),
+                pltpu.VMEM((n_kv, rows, LANE), jnp.float32),
+                pltpu.VMEM((n_kv, rows, LANE), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((1, n_kv, rows, d_pad), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(cache.page_tables), meta,
+      qg, cache.k_pages, k_scales, cache.v_pages, v_scales)[0]
+
+    o = o[0].reshape(n_kv, g, chunk, d_pad)[..., :d]        # (n_kv, g, chunk, d)
+    return jnp.transpose(o, (2, 0, 1, 3)).reshape(chunk, n_q_heads, d)

@@ -54,7 +54,6 @@ def _prefill_kernel(
     chunk: int,
     page_size: int,
     max_pages: int,
-    scale: float,
     quantized: bool,
 ):
     # meta = [slot, live_page_count, total_len, start]
@@ -70,13 +69,6 @@ def _prefill_kernel(
     def _compute():
         total = meta_ref[2]
         start = meta_ref[3]
-        kv_pos = p * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, page_size), 2)
-        # row r of the (g*chunk)-row query block is chunk-minor: its token
-        # sits at absolute position start + (r mod chunk)
-        q_pos = start + jax.lax.broadcasted_iota(
-            jnp.int32, (1, q_ref.shape[2], 1), 1) % chunk
-        mask = (kv_pos < total) & (kv_pos <= q_pos)
 
         q = q_ref[0]                               # (n_kv, g*chunk, d)
         k = k_ref[:, 0]                            # (n_kv, page, d)
@@ -84,35 +76,57 @@ def _prefill_kernel(
         if quantized:
             k = k.astype(jnp.bfloat16)
             v = v.astype(jnp.bfloat16)
+        # scale*LOG2E is pre-folded into q by the wrapper (as in the
+        # training kernels' Q prescale), so s is ready for exp2
         s = jax.lax.dot_general(
             q.astype(k.dtype), k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                          # (n_kv, g*chunk, page)
         if quantized:
-            s = s * (ks_ref[:, 0] * jnp.float32(scale * LOG2E))
-        else:
-            s = s * jnp.float32(scale * LOG2E)
-        s = jnp.where(mask, s, NEG_INF_F32)
+            s = s * ks_ref[:, 0]
 
-        m_prev = m_scratch[:, :, :1]
-        l_prev = l_scratch[:, :, :1]
-        m_curr = jnp.max(s, axis=2, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev - m_next)
-        pw = jnp.exp2(s - m_next)
-        # a fully-masked (row, page) pair contributes nothing even when the
-        # row is globally masked (m_next stays at the finite NEG_INF approx)
-        pw = jnp.where(mask, pw, 0.0)
-        l_next = alpha * l_prev + jnp.sum(pw, axis=2, keepdims=True)
-        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
-        if quantized:
-            pw = pw * vs_ref[:, 0]
-        pv = jax.lax.dot_general(
-            pw.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                          # (n_kv, g*chunk, d)
-        acc_ref[...] = acc_ref[...] * alpha + pv
+        def update(s):
+            m_prev = m_scratch[:, :, :1]
+            l_prev = l_scratch[:, :, :1]
+            m_curr = jnp.max(s, axis=2, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            # masked entries hold the finite NEG_INF approx; exp2 of the
+            # huge negative difference is exactly 0, and page 0 (processed
+            # first) always holds a live key for every row, so m_next is
+            # real from the first step on — no extra select needed
+            pw = jnp.exp2(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(pw, axis=2, keepdims=True)
+            m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+            l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+            if quantized:
+                pw = pw * vs_ref[:, 0]
+            pv = jax.lax.dot_general(
+                pw.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                      # (n_kv, g*chunk, d)
+            acc_ref[...] = acc_ref[...] * alpha + pv
+
+        # interior pages (every key strictly before the chunk's first row,
+        # hence unmasked for all rows: kv_pos < start <= q_pos <= total)
+        # skip the per-element mask chain entirely — for a chunk at the end
+        # of a long context that is almost every page
+        interior = (p + 1) * page_size <= start
+
+        @pl.when(interior)
+        def _interior():
+            update(s)
+
+        @pl.when(jnp.logical_not(interior))
+        def _edge():
+            kv_pos = p * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, page_size), 2)
+            # row r of the (g*chunk)-row query block is chunk-minor: its
+            # token sits at absolute position start + (r mod chunk)
+            q_pos = start + jax.lax.broadcasted_iota(
+                jnp.int32, (1, q_ref.shape[2], 1), 1) % chunk
+            mask = (kv_pos < total) & (kv_pos <= q_pos)
+            update(jnp.where(mask, s, NEG_INF_F32))
 
     @pl.when(p == max_pages - 1)
     def _finalize():
@@ -156,9 +170,12 @@ def paged_prefill_attention(
     if scale is None:
         scale = 1.0 / np.sqrt(d)
 
-    # chunk-minor row layout: (chunk, n_kv, g, d) -> (n_kv, g*chunk, d)
+    # chunk-minor row layout: (chunk, n_kv, g, d) -> (n_kv, g*chunk, d),
+    # with scale*log2(e) pre-folded into q (Q prescale, as in the training
+    # kernels) so the kernel's logits feed exp2 directly
     qg = jnp.swapaxes(q.reshape(chunk, n_kv, g, d), 0, 1)   # (n_kv, chunk, g, d)
     qg = jnp.swapaxes(qg, 1, 2).reshape(n_kv, g * chunk, d)
+    qg = (qg.astype(jnp.float32) * jnp.float32(scale * LOG2E)).astype(q.dtype)
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, d_pad - d)))[None]
 
     total = jnp.asarray(start, jnp.int32) + jnp.asarray(true_len, jnp.int32)
@@ -183,7 +200,6 @@ def paged_prefill_attention(
         chunk=chunk,
         page_size=cfg.page_size,
         max_pages=max_pages,
-        scale=float(scale),
         quantized=quantized,
     )
 

@@ -168,7 +168,7 @@ class DecodeEngine:
             cache = write_tokens_at(
                 cache, self.ccfg, slot, start,
                 jnp.swapaxes(k, 0, 1), jnp.swapaxes(v, 0, 1),
-                true_len, self.trash_page)
+                true_len, self.trash_page, interpret=self.interpret)
             o = paged_prefill_attention(
                 q, cache, self.ccfg, slot, start, true_len,
                 interpret=self.interpret)
@@ -198,7 +198,8 @@ class DecodeEngine:
             v = (h @ layer["wv"].astype(h.dtype)).reshape(S, cfg.n_kv_heads, cfg.d_head)
             q = _rope_at(q, pos, cfg.rope_theta)
             k = _rope_at(k, pos, cfg.rope_theta)
-            cache = append_tokens_batched(cache, self.ccfg, k, v, active, self.trash_page)
+            cache = append_tokens_batched(cache, self.ccfg, k, v, active,
+                                          self.trash_page, interpret=self.interpret)
             o = paged_decode_attention(q, cache, self.ccfg, interpret=self.interpret)
             x = x + o.reshape(S, -1).astype(x.dtype) @ layer["wo"].astype(x.dtype)
             x = _mlp_block(cfg, layer, x[:, None, :])[0][:, 0, :]

@@ -25,11 +25,14 @@ the whole cache threads through jit.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..block_sizes import LANE, pad_to
 
@@ -189,9 +192,114 @@ def write_prompt(cache: PagedKVCache, cfg: KVCacheConfig, slot: int,
     )
 
 
+def _chunk_write_kernel(tables_ref, meta_ref,
+                        kq_ref, ksc_ref, vq_ref, vsc_ref,
+                        kpi_ref, ksi_ref, vpi_ref, vsi_ref,
+                        kpo_ref, kso_ref, vpo_ref, vso_ref,
+                        *, quantized: bool):
+    """Block-copy one aligned row-group of the chunk into its page.
+
+    The aliased page inputs arrive as untouched HBM refs (memory space
+    ANY) purely to carry the aliasing; every output block is fully
+    overwritten, and unvisited pages keep their aliased contents.
+    """
+    del tables_ref, meta_ref, kpi_ref, ksi_ref, vpi_ref, vsi_ref
+    kpo_ref[...] = kq_ref[...][:, None]
+    vpo_ref[...] = vq_ref[...][:, None]
+    if quantized:
+        kso_ref[...] = ksc_ref[...][:, None, None, :]
+        vso_ref[...] = vsc_ref[...][:, None, None, :]
+
+
+def _chunk_write_via_kernel(cache, cfg, slot, start, total, trash_page,
+                            kq, ksc, vq, vsc):
+    """Pallas path for the chunked-prefill KV write.
+
+    Requires the engine's alignment invariant (chunks start at multiples
+    of ``rows_block = min(chunk, page_size)``, which divides both chunk
+    and page size), so each grid step fully overwrites one aligned
+    (rows_block, d) row-group of a page — no read-modify-write, no
+    scatter.  Row-groups past ``total`` are routed to the trash page;
+    padding rows inside the last live group land at positions beyond the
+    sequence length, which nothing ever reads and later appends overwrite
+    row-by-row.
+    """
+    n_kv, n_pages, page_size, d_store = cache.k_pages.shape
+    chunk = kq.shape[1]
+    rows_block = min(chunk, page_size)
+    n_blocks = chunk // rows_block
+    max_pages = cache.page_tables.shape[1]
+    quantized = cfg.quantized
+    if not quantized:
+        ksc = jnp.zeros((n_kv, chunk), jnp.float32)
+        vsc = ksc
+        k_scales_in = jnp.zeros((n_kv, 1, 1, page_size), jnp.float32)
+        v_scales_in = k_scales_in
+    else:
+        k_scales_in, v_scales_in = cache.k_scales, cache.v_scales
+
+    def page_idx(i, tables, meta):
+        off_tok = meta[1] + i * rows_block
+        logical = jnp.minimum(off_tok // page_size, max_pages - 1)
+        phys = jnp.where(off_tok < meta[2], tables[meta[0], logical], meta[3])
+        return (0, phys, (off_tok % page_size) // rows_block, 0)
+
+    def scales_idx(i, tables, meta):
+        if not quantized:
+            return (0, 0, 0, 0)
+        off_tok = meta[1] + i * rows_block
+        logical = jnp.minimum(off_tok // page_size, max_pages - 1)
+        phys = jnp.where(off_tok < meta[2], tables[meta[0], logical], meta[3])
+        return (0, phys, 0, (off_tok % page_size) // rows_block)
+
+    def val_idx(i, tables, meta):
+        return (0, i, 0)
+
+    def sc_val_idx(i, tables, meta):
+        return (0, i)
+
+    meta = jnp.stack([
+        jnp.asarray(slot, jnp.int32), jnp.asarray(start, jnp.int32),
+        jnp.asarray(total, jnp.int32), jnp.asarray(trash_page, jnp.int32)])
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+    page_block = pl.BlockSpec((n_kv, 1, rows_block, d_store), page_idx)
+    scales_block = pl.BlockSpec((n_kv, 1, 1, rows_block), scales_idx)
+    outs = pl.pallas_call(
+        functools.partial(_chunk_write_kernel, quantized=quantized),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((n_kv, rows_block, d_store), val_idx),
+                pl.BlockSpec((n_kv, rows_block), sc_val_idx),
+                pl.BlockSpec((n_kv, rows_block, d_store), val_idx),
+                pl.BlockSpec((n_kv, rows_block), sc_val_idx),
+                any_spec, any_spec, any_spec, any_spec,
+            ],
+            out_specs=[page_block, scales_block, page_block, scales_block],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(cache.k_pages.shape, cache.k_pages.dtype),
+            jax.ShapeDtypeStruct(k_scales_in.shape, jnp.float32),
+            jax.ShapeDtypeStruct(cache.v_pages.shape, cache.v_pages.dtype),
+            jax.ShapeDtypeStruct(v_scales_in.shape, jnp.float32),
+        ],
+        # 2 scalar prefetch + 4 value operands; aliased page arrays at 6..9
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(jnp.asarray(cache.page_tables), meta, kq, ksc, vq, vsc,
+      cache.k_pages, k_scales_in, cache.v_pages, v_scales_in)
+    k_pages, k_scales, v_pages, v_scales = outs
+    if not quantized:
+        k_scales = v_scales = None
+    return k_pages, k_scales, v_pages, v_scales
+
+
 def write_tokens_at(cache: PagedKVCache, cfg: KVCacheConfig, slot, start,
                     k: jax.Array, v: jax.Array, true_len,
-                    trash_page: int) -> PagedKVCache:
+                    trash_page: int,
+                    interpret: Optional[bool] = None) -> PagedKVCache:
     """Write a chunk of tokens at absolute position ``start`` (chunked prefill).
 
     ``k, v``: (n_kv_heads, chunk, head_dim); ``slot``, ``start`` and
@@ -200,8 +308,39 @@ def write_tokens_at(cache: PagedKVCache, cfg: KVCacheConfig, slot, start,
     the reserved ``trash_page`` so the scatter stays branch-free and never
     touches unassigned pages.  The slot's length becomes
     ``start + true_len``.
+
+    On TPU, when the engine's chunk/page alignment holds, the write goes
+    through an aliased block-copy Pallas kernel; the XLA-scatter path
+    remains for interpret mode, unaligned chunks, and as the spec.
     """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
     chunk = k.shape[1]
+    page = cfg.page_size
+    # full-page blocks need page rows divisible by the sublane width; sub-
+    # page blocks additionally block the lane-major scale row by chunk,
+    # which must then be lane-aligned
+    aligned = (chunk % page == 0 and page % 8 == 0) or (
+        page % chunk == 0 and chunk % 128 == 0)
+    if not interpret and aligned:
+        def quant(new):
+            vals = _pad_feature(new, cfg.head_dim_store)  # (n_kv, chunk, d)
+            if cfg.quantized:
+                qv, sc = _quantize_tokens(vals, cfg.quant_dtype)
+                return qv, sc[..., 0]                     # (n_kv, chunk)
+            return vals.astype(cache.k_pages.dtype), None
+
+        kq, ksc = quant(k)
+        vq, vsc = quant(v)
+        total = jnp.asarray(start, jnp.int32) + jnp.asarray(true_len, jnp.int32)
+        k_pages, k_scales, v_pages, v_scales = _chunk_write_via_kernel(
+            cache, cfg, slot, start, total, trash_page, kq, ksc, vq, vsc)
+        return dataclasses.replace(
+            cache,
+            k_pages=k_pages, v_pages=v_pages,
+            k_scales=k_scales, v_scales=v_scales,
+            lengths=cache.lengths.at[slot].set(total),
+        )
     pos = jnp.asarray(start, jnp.int32) + jnp.arange(chunk, dtype=jnp.int32)
     valid = jnp.arange(chunk) < true_len
     logical = jnp.minimum(pos // cfg.page_size, cfg.max_pages_per_seq - 1)
@@ -237,20 +376,152 @@ def assign_page(cache: PagedKVCache, slot: int, logical_page: int, physical_page
     )
 
 
+def _append_rmw_kernel(phys_ref, off_ref,
+                       kq_ref, ksc_ref, vq_ref, vsc_ref,
+                       kpi_ref, ksi_ref, vpi_ref, vsi_ref,
+                       kpo_ref, kso_ref, vpo_ref, vso_ref,
+                       *, page_size: int, quantized: bool):
+    """In-place (aliased) read-modify-write of one token row per slot."""
+    s = pl.program_id(0)
+    off = off_ref[s]
+    row_sel = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, page_size, 1), 2) == off
+    kpo_ref[...] = jnp.where(row_sel, kq_ref[0][:, None, None, :], kpi_ref[...])
+    vpo_ref[...] = jnp.where(row_sel, vq_ref[0][:, None, None, :], vpi_ref[...])
+    if quantized:
+        n_kv = ksi_ref.shape[0]
+        lane_sel = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, 1, page_size), 3) == off
+        # scales come in transposed (n_kv, S): extract lane s by masked
+        # reduction (dynamic lane slices / lane->sublane reshapes do not
+        # lower on Mosaic), keeping the value sublane-major so it
+        # broadcasts cleanly to the (n_kv, 1, 1, page) scale row
+        slot_sel = jax.lax.broadcasted_iota(
+            jnp.int32, ksc_ref.shape, 1) == s
+        ks_col = jnp.sum(jnp.where(slot_sel, ksc_ref[...], 0.0),
+                         axis=1, keepdims=True)            # (n_kv, 1)
+        vs_col = jnp.sum(jnp.where(slot_sel, vsc_ref[...], 0.0),
+                         axis=1, keepdims=True)
+        ksb = jax.lax.broadcast_in_dim(ks_col, (n_kv, 1, 1, page_size), (0, 3))
+        vsb = jax.lax.broadcast_in_dim(vs_col, (n_kv, 1, 1, page_size), (0, 3))
+        kso_ref[...] = jnp.where(lane_sel, ksb, ksi_ref[...])
+        vso_ref[...] = jnp.where(lane_sel, vsb, vsi_ref[...])
+
+
+def _append_via_kernel(cache, cfg, phys, offset, kq, ksc, vq, vsc):
+    """Pallas path for the decode-step append: each grid step RMWs its
+    slot's target page in VMEM with the pages aliased in-place, so the
+    update costs one page of DMA per slot instead of an XLA scatter (which
+    lowers to a serial multi-ms update chain on TPU).
+
+    Safe aliasing: two active slots never target the same physical page
+    (each appends at its own length, past any shared prefix); only the
+    trash page can repeat, and its contents are garbage by design.
+    """
+    S = phys.shape[0]
+    n_kv, n_pages, page_size, d_store = cache.k_pages.shape
+    quantized = cfg.quantized
+    if not quantized:
+        ksc = jnp.zeros((n_kv, S), jnp.float32)
+        vsc = ksc
+        k_scales_in = jnp.zeros((n_kv, 1, 1, page_size), jnp.float32)
+        v_scales_in = k_scales_in
+    else:
+        k_scales_in, v_scales_in = cache.k_scales, cache.v_scales
+
+    def val_idx(s, phys, off):
+        return (s, 0, 0)
+
+    def sc_val_idx(s, phys, off):
+        # the (n_kv, S) scale values are too small to block per-slot under
+        # TPU tiling rules; load whole and slice the slot lane in-kernel
+        return (0, 0)
+
+    def page_idx(s, phys, off):
+        return (0, phys[s], 0, 0)
+
+    def scales_idx(s, phys, off):
+        if quantized:
+            return (0, phys[s], 0, 0)
+        return (0, 0, 0, 0)
+
+    page_block = pl.BlockSpec((n_kv, 1, page_size, d_store), page_idx)
+    scales_block = pl.BlockSpec((n_kv, 1, 1, page_size), scales_idx)
+    outs = pl.pallas_call(
+        functools.partial(_append_rmw_kernel, page_size=page_size,
+                          quantized=quantized),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(S,),
+            in_specs=[
+                pl.BlockSpec((1, n_kv, d_store), val_idx),
+                pl.BlockSpec((n_kv, S), sc_val_idx),
+                pl.BlockSpec((1, n_kv, d_store), val_idx),
+                pl.BlockSpec((n_kv, S), sc_val_idx),
+                page_block, scales_block, page_block, scales_block,
+            ],
+            out_specs=[page_block, scales_block, page_block, scales_block],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(cache.k_pages.shape, cache.k_pages.dtype),
+            jax.ShapeDtypeStruct(k_scales_in.shape, jnp.float32),
+            jax.ShapeDtypeStruct(cache.v_pages.shape, cache.v_pages.dtype),
+            jax.ShapeDtypeStruct(v_scales_in.shape, jnp.float32),
+        ],
+        # flattened input indices: 2 scalar-prefetch args, 4 value operands,
+        # then the 4 aliased page arrays at 6..9
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(phys, offset, kq, ksc, vq, vsc,
+      cache.k_pages, k_scales_in, cache.v_pages, v_scales_in)
+    k_pages, k_scales, v_pages, v_scales = outs
+    if not quantized:
+        k_scales = v_scales = None
+    return k_pages, k_scales, v_pages, v_scales
+
+
 def append_tokens_batched(cache: PagedKVCache, cfg: KVCacheConfig,
                           k_new: jax.Array, v_new: jax.Array,
-                          active: jax.Array, trash_page: int) -> PagedKVCache:
+                          active: jax.Array, trash_page: int,
+                          interpret: Optional[bool] = None) -> PagedKVCache:
     """Append one token per sequence slot (vectorised decode-step write).
 
     ``k_new, v_new``: (max_seqs, n_kv_heads, head_dim); ``active``:
     (max_seqs,) bool.  Inactive slots write to the reserved ``trash_page``
     so the scatter stays branch-free; their lengths do not advance.
+
+    On TPU the write goes through an aliased Pallas RMW kernel (see
+    ``_append_via_kernel``); the XLA-scatter path remains for interpret
+    mode and as the behavioural spec.
     """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
     lengths = cache.lengths
     logical = lengths // cfg.page_size
     offset = lengths % cfg.page_size
     phys = jnp.take_along_axis(cache.page_tables, logical[:, None], axis=1)[:, 0]
     phys = jnp.where(active, phys, trash_page)
+
+    if not interpret:
+        def quant(new):
+            vals = _pad_feature(new, cfg.head_dim_store)   # (S, n_kv, d_store)
+            if cfg.quantized:
+                qv, sc = _quantize_tokens(vals, cfg.quant_dtype)
+                return qv, sc[..., 0].T  # (n_kv, S) for the kernel
+            return vals.astype(cache.k_pages.dtype), None
+
+        kq, ksc = quant(k_new)
+        vq, vsc = quant(v_new)
+        k_pages, k_scales, v_pages, v_scales = _append_via_kernel(
+            cache, cfg, phys.astype(jnp.int32), offset.astype(jnp.int32),
+            kq, ksc, vq, vsc)
+        return dataclasses.replace(
+            cache,
+            k_pages=k_pages, v_pages=v_pages,
+            k_scales=k_scales, v_scales=v_scales,
+            lengths=cache.lengths + active.astype(jnp.int32),
+        )
 
     def scatter(pages, scales, new):
         # new: (max_seqs, n_kv_heads, d) -> write at [:, phys[s], offset[s], :]

@@ -60,35 +60,42 @@ def sample_tokens(logits, key, temperature, top_k, top_p):
     S, vocab = logits.shape
     logits = logits.astype(jnp.float32)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
     temperature = temperature.astype(jnp.float32)
-    safe_t = jnp.where(temperature > 0, temperature, 1.0)
-    scaled = logits / safe_t[:, None]
 
-    # sorted descending once; both filters are thresholds in sorted space
-    sorted_logits = -jnp.sort(-scaled, axis=-1)
-    ranks = jnp.arange(vocab, dtype=jnp.int32)[None, :]
+    def _sampled(_):
+        safe_t = jnp.where(temperature > 0, temperature, 1.0)
+        scaled = logits / safe_t[:, None]
 
-    # top-k: keep logits >= the k-th largest value
-    k = jnp.clip(top_k.astype(jnp.int32), 0, vocab)
-    kth = jnp.take_along_axis(
-        sorted_logits, jnp.maximum(k - 1, 0)[:, None], axis=-1)
-    keep_k = jnp.where((k > 0)[:, None], scaled >= kth, True)
+        # sorted descending once; both filters are thresholds in sorted space
+        sorted_logits = -jnp.sort(-scaled, axis=-1)
+        ranks = jnp.arange(vocab, dtype=jnp.int32)[None, :]
 
-    # top-p: keep the smallest sorted prefix with cumulative prob >= p,
-    # i.e. drop tokens whose *preceding* cumulative mass already reached p
-    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs_sorted, axis=-1)
-    cum_before = cum - probs_sorted
-    keep_sorted = cum_before < top_p.astype(jnp.float32)[:, None]
-    keep_sorted = keep_sorted | (ranks == 0)  # always keep the best token
-    # translate the sorted-prefix decision back to a value threshold: the
-    # smallest kept sorted logit
-    min_kept = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
-                       axis=-1, keepdims=True)
-    keep_p = scaled >= min_kept
+        # top-k: keep logits >= the k-th largest value
+        k = jnp.clip(top_k.astype(jnp.int32), 0, vocab)
+        kth = jnp.take_along_axis(
+            sorted_logits, jnp.maximum(k - 1, 0)[:, None], axis=-1)
+        keep_k = jnp.where((k > 0)[:, None], scaled >= kth, True)
 
-    filtered = jnp.where(keep_k & keep_p, scaled, _NEG)
-    keys = jax.random.split(key, S)
-    sampled = jax.vmap(jax.random.categorical)(keys, filtered).astype(jnp.int32)
-    return jnp.where(temperature > 0, sampled, greedy_tok)
+        # top-p: keep the smallest sorted prefix with cumulative prob >= p,
+        # i.e. drop tokens whose *preceding* cumulative mass already reached p
+        probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs_sorted, axis=-1)
+        cum_before = cum - probs_sorted
+        keep_sorted = cum_before < top_p.astype(jnp.float32)[:, None]
+        keep_sorted = keep_sorted | (ranks == 0)  # always keep the best token
+        # translate the sorted-prefix decision back to a value threshold: the
+        # smallest kept sorted logit
+        min_kept = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
+                           axis=-1, keepdims=True)
+        keep_p = scaled >= min_kept
+
+        filtered = jnp.where(keep_k & keep_p, scaled, _NEG)
+        keys = jax.random.split(key, S)
+        sampled = jax.vmap(jax.random.categorical)(keys, filtered).astype(jnp.int32)
+        return jnp.where(temperature > 0, sampled, greedy_tok)
+
+    # an all-greedy batch (the common serving case) skips the full-vocab
+    # sort/cumsum chain entirely — on a 32k vocab that chain costs more
+    # than a whole layer of decode attention
+    return jax.lax.cond(
+        jnp.any(temperature > 0), _sampled, lambda _: greedy_tok, None)

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Engine-level serving benchmark: full-model decode-step and prefill-chunk
+device time on a realistic transformer (not just the attention kernels).
+
+The continuous-batching engine's two compiled functions are measured as
+pure device time (host wall-clock through the tunnelled runtime is RTT-
+dominated and meaningless here):
+
+  * ``decode_step`` — one token for every active slot through the whole
+    model (embed, per-layer qkv/o + paged INT8 decode attention + MLP,
+    final logits, sampling)  ->  decode tokens/s/chip;
+  * ``chunk_prefill`` — one prefill chunk through the whole model (paged
+    prefill attention against the growing cache)  ->  prefill tokens/s/chip.
+
+Usage: python tools/engine_bench.py  (env: EB_SEQS, EB_CTX, EB_CHUNK,
+EB_LAYERS, EB_DMODEL)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_flash_attention_tpu.models.transformer import ModelConfig, init_params
+from tf_flash_attention_tpu.serving.engine import DecodeEngine, EngineConfig
+from tf_flash_attention_tpu.utils.profiling import device_time
+
+
+def main():
+    max_seqs = int(os.environ.get("EB_SEQS", 16))
+    ctx = int(os.environ.get("EB_CTX", 2048))
+    chunk = int(os.environ.get("EB_CHUNK", 512))
+    n_layers = int(os.environ.get("EB_LAYERS", 8))
+    d_model = int(os.environ.get("EB_DMODEL", 1024))
+    page = 256
+    mcfg = ModelConfig(
+        vocab=32768, d_model=d_model, n_layers=n_layers, n_heads=8,
+        n_kv_heads=8, d_head=128, d_ff=4 * d_model, max_seq=2 * ctx,
+        dtype=jnp.bfloat16)
+    ecfg = EngineConfig(
+        max_seqs=max_seqs, page_size=page,
+        n_pages=max_seqs * (ctx // page) + max_seqs + 1,
+        max_pages_per_seq=2 * ctx // page, quantized_kv=True,
+        prefill_mode="chunked", prefill_chunk=chunk)
+    params = init_params(mcfg, jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    print(f"model: {n_params/1e6:.0f}M params, {n_layers}L x {d_model}d, "
+          f"B={max_seqs}, ctx={ctx}, page={page}, int8 KV", file=sys.stderr)
+
+    eng = DecodeEngine(mcfg, params, ecfg, interpret=False)
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(1, 1000, ctx - 8)) for _ in range(max_seqs)]
+    for p in prompts:
+        eng.submit(p, max_new_tokens=8)
+    eng._admit()
+    assert eng.num_active == max_seqs
+    eng._ensure_capacity()
+
+    # ---- decode step: whole model, one token per slot ----
+    tokens = jnp.asarray([st["last"] for st in eng._slots], jnp.int32)
+    active = jnp.ones((max_seqs,), bool)
+    temps = jnp.zeros((max_seqs,), jnp.float32)
+    top_ks = jnp.zeros((max_seqs,), jnp.int32)
+    top_ps = jnp.ones((max_seqs,), jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    # thread the caches through the timing chain as a scan carry so the
+    # aliased Pallas append stays in-place (device_time's generic chain
+    # would re-copy the un-donated cache arrays every iteration)
+    import time
+
+    import jax.numpy as _jnp
+
+    def many_steps(n):
+        def run(params, tokens, caches):
+            def body(carry, _):
+                tokens, caches = carry
+                toks, caches = eng._decode_step_impl(
+                    params, caches, tokens, active, temps, top_ks, top_ps, key)
+                return (toks, caches), ()
+            (toks, caches), _ = jax.lax.scan(
+                body, (tokens, caches), None, length=n)
+            return toks[0].astype(_jnp.float32)
+        return jax.jit(run, donate_argnums=(2,))
+
+    n_short, n_long = 8, 24
+    f_s, f_l = many_steps(n_short), many_steps(n_long)
+    for _ in range(2):
+        caches = [jax.tree.map(lambda x: x.copy(), c) for c in eng.caches]
+        float(f_s(eng.params, tokens, caches))
+        caches = [jax.tree.map(lambda x: x.copy(), c) for c in eng.caches]
+        float(f_l(eng.params, tokens, caches))
+    best_s = best_l = float("inf")
+    for _ in range(4):
+        caches = [jax.tree.map(lambda x: x.copy(), c) for c in eng.caches]
+        t0 = time.perf_counter(); float(f_s(eng.params, tokens, caches))
+        best_s = min(best_s, time.perf_counter() - t0)
+        caches = [jax.tree.map(lambda x: x.copy(), c) for c in eng.caches]
+        t0 = time.perf_counter(); float(f_l(eng.params, tokens, caches))
+        best_l = min(best_l, time.perf_counter() - t0)
+    t_dec = (best_l - best_s) / (n_long - n_short)
+    dec_tps = max_seqs / t_dec
+    print(f"decode step: {t_dec*1e3:.3f} ms -> {dec_tps:,.0f} tokens/s/chip",
+          file=sys.stderr)
+
+    # ---- prefill chunk: whole model, chunk tokens, slot 0 at end of ctx ----
+    ctoks = jnp.asarray(list(rng.integers(1, 1000, chunk)), jnp.int32)
+    start = jnp.asarray(ctx - 8 - chunk, jnp.int32)
+
+    def prefill(ctoks, params, caches):
+        last, _ = eng._chunk_prefill_impl(
+            params, caches, ctoks, jnp.asarray(0, jnp.int32), start,
+            jnp.asarray(chunk, jnp.int32))
+        return last
+
+    t_pre = device_time(prefill, (ctoks, eng.params, eng.caches), n=20, reps=4)
+    pre_tps = chunk / t_pre
+    print(f"prefill chunk ({chunk} tokens @ pos {int(start)}): "
+          f"{t_pre*1e3:.3f} ms -> {pre_tps:,.0f} tokens/s/chip", file=sys.stderr)
+
+    import json
+    print(json.dumps({
+        "decode_tokens_per_s": round(dec_tps),
+        "prefill_tokens_per_s": round(pre_tps),
+        "decode_step_ms": round(t_dec * 1e3, 3),
+        "prefill_chunk_ms": round(t_pre * 1e3, 3),
+        "params_m": round(n_params / 1e6),
+        "batch": max_seqs, "ctx": ctx, "chunk": chunk,
+    }))
+
+
+if __name__ == "__main__":
+    main()

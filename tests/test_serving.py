@@ -356,3 +356,71 @@ def test_prefix_cache_reuse_refcounts_and_eviction():
     # eviction releases the registry pages back to the free list
     eng.prefix_cache.evict(eng.allocator, ecfg.n_pages)
     assert eng.allocator.free_pages == ecfg.n_pages - 1
+
+
+# ---- speculative decoding ----
+
+def test_multitoken_decode_matches_oracle():
+    from tf_flash_attention_tpu.serving.decode import paged_multitoken_decode
+    from tf_flash_attention_tpu.serving.kv_cache import write_tokens_at
+
+    rng = np.random.default_rng(11)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=64, n_pages=16,
+                        max_seqs=2, max_pages_per_seq=4, quantized=False,
+                        dtype=jnp.float32)
+    cache = PagedKVCache.create(cfg)
+    alloc = PageAllocator(cfg.n_pages - 1)
+    base, gamma = 70, 3
+    total = base + gamma
+    k = jnp.asarray(rng.uniform(-1, 1, (2, total, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, total, 32)), jnp.float32)
+    cache = write_prompt(cache, cfg, 0, np.array(alloc.alloc(0, 2)), k, v)
+    q = jnp.asarray(rng.uniform(-1, 1, (2, gamma, 4, 32)), jnp.float32)
+    o = paged_multitoken_decode(q, cache, cfg)
+
+    # slot 0 oracle: draft i attends positions 0 .. base+i
+    for i in range(gamma):
+        qg = np.asarray(q[0, i]).reshape(2, 2, 32)
+        kv_len = base + i + 1
+        s = np.einsum("hgd,htd->hgt", qg, np.asarray(k[:, :kv_len])) / np.sqrt(32)
+        p = np.exp(s - s.max(-1, keepdims=True)); p /= p.sum(-1, keepdims=True)
+        ref = np.einsum("hgt,htd->hgd", p, np.asarray(v[:, :kv_len])).reshape(4, 32)
+        np.testing.assert_allclose(np.asarray(o[0, i]), ref, rtol=3e-5, atol=3e-5)
+    # empty slot 1 yields zeros
+    np.testing.assert_array_equal(np.asarray(o[1]), 0.0)
+
+    # gamma=1 equals the single-token kernel
+    q1 = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32)), jnp.float32)
+    o1 = paged_decode_attention(q1, cache, cfg)
+    om = paged_multitoken_decode(q1[:, None], cache, cfg)[:, 0]
+    np.testing.assert_allclose(np.asarray(om), np.asarray(o1), rtol=1e-6, atol=1e-6)
+
+
+def test_engine_speculative_matches_dense_greedy():
+    """Speculative greedy is lossless: identical tokens to dense greedy,
+    fewer steps, nonzero acceptance on repetitive continuations."""
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    base = dict(max_seqs=2, page_size=16, n_pages=64, max_pages_per_seq=16,
+                quantized_kv=False, prefill_mode="chunked", prefill_chunk=8,
+                prefix_caching=False)
+    # a prompt with a repeating pattern gives the n-gram proposer material
+    prompt = [5, 9, 5, 9, 5, 9, 5, 9, 5]
+    n_new = 12
+    want = greedy_dense(params, prompt, n_new)
+
+    eng = DecodeEngine(MCFG, params, EngineConfig(**base, speculative_tokens=3))
+    rid = eng.submit(prompt, max_new_tokens=n_new)
+    steps = 0
+    while (eng.scheduler.queued or eng.num_active) and steps < 50:
+        eng.step()
+        steps += 1
+    assert eng._results[rid] == want, (eng._results[rid], want)
+    assert steps < n_new, steps  # speculation actually saved steps
+    assert eng.spec_stats["accepted"] > 0
+
+    # EOS inside an accepted run still stops exactly at EOS
+    eos = want[len(prompt) + 4]
+    eng2 = DecodeEngine(MCFG, params, EngineConfig(**base, speculative_tokens=3))
+    rid2 = eng2.submit(prompt, max_new_tokens=n_new, eos_id=eos)
+    res2 = eng2.run(max_steps=50)
+    assert res2[rid2] == want[: len(prompt) + 5], (res2[rid2], want)

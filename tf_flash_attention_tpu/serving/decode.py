@@ -48,7 +48,7 @@ from ..block_sizes import LANE, VMEM_LIMIT, pad_to
 from ..ops.kernel_common import LOG2E, NEG_INF_F32
 from .kv_cache import KVCacheConfig, PagedKVCache
 
-__all__ = ["paged_decode_attention"]
+__all__ = ["paged_decode_attention", "paged_multitoken_decode"]
 
 
 def _decode_kernel(
@@ -62,6 +62,7 @@ def _decode_kernel(
     max_pages: int,
     scale: float,
     quantized: bool,
+    gamma: int = 1,
 ):
     b = pl.program_id(0)
     p = pl.program_id(1)
@@ -76,7 +77,15 @@ def _decode_kernel(
     def _compute():
         token_pos = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, page_size), 2)
-        bounds = token_pos < lengths_ref[b]
+        if gamma == 1:
+            bounds = token_pos < lengths_ref[b]
+        else:
+            # speculative multi-token decode: row r holds draft position
+            # r mod gamma at absolute position lengths - gamma + (r mod
+            # gamma); it attends causally up to and including itself
+            row_mod = jax.lax.broadcasted_iota(
+                jnp.int32, (1, q_ref.shape[2], 1), 1) % gamma
+            bounds = token_pos < (lengths_ref[b] - (gamma - 1) + row_mod)
         # all heads at once via head-batched dot_generals: one op stream per
         # page regardless of head count (decode is per-step-overhead bound)
         q = q_ref[0]                               # (n_kv, g_pad, d)
@@ -212,3 +221,111 @@ def paged_decode_attention(
       qg, cache.k_pages, k_scales, cache.v_pages, v_scales)[0]
 
     return o[:, :, :g, :d].reshape(max_seqs, n_q_heads, d)
+
+
+def paged_multitoken_decode(
+    q: jax.Array,
+    cache: PagedKVCache,
+    cfg: KVCacheConfig,
+    *,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """Speculative verification attention: ``gamma`` tokens per slot.
+
+    ``q``: (max_seqs, gamma, n_q_heads, head_dim) — queries for the
+    gamma draft tokens sitting at absolute positions
+    ``lengths - gamma .. lengths`` of each slot (their K/V must already be
+    appended, so ``cache.lengths`` INCLUDES the drafts).  Draft i attends
+    causally through position ``lengths - gamma + i``.  Returns
+    (max_seqs, gamma, n_q_heads, head_dim).
+
+    Same kernel as single-token decode (which is the gamma=1 special
+    case): the only difference is a per-row causal bound, so verification
+    costs one pass of the same page stream — the basis of lossless greedy
+    speculative decoding in the engine.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    max_seqs, gamma, n_q_heads, d = q.shape
+    n_kv = cfg.n_kv_heads
+    if n_q_heads % n_kv:
+        raise ValueError(f"q heads {n_q_heads} not a multiple of kv heads {n_kv}")
+    g = n_q_heads // n_kv
+    rows = g * gamma
+    # padding rows land on arbitrary (r mod gamma) draft positions, which
+    # is harmless: softmax is per-row, every row keeps key 0 live (its
+    # causal bound is >= 1), and padded outputs are sliced off below
+    rows_pad = max(8, pad_to(rows, 8))
+    d_pad = cfg.head_dim_store
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+
+    # gamma-minor rows: row r = head_in_group * gamma + draft_index
+    qg = q.reshape(max_seqs, gamma, n_kv, g, d)
+    qg = jnp.transpose(qg, (0, 2, 3, 1, 4)).reshape(max_seqs, n_kv, rows, d)
+    qg = jnp.pad(qg, ((0, 0), (0, 0), (0, rows_pad - rows), (0, d_pad - d)))
+
+    counts = -(-cache.lengths // cfg.page_size)
+    max_pages = cfg.max_pages_per_seq
+    quantized = cfg.quantized
+
+    def page_idx(b, p, t, c, L):
+        lp = jnp.maximum(0, jnp.minimum(p, c[b] - 1))
+        return (0, t[b, lp], 0, 0)
+
+    def q_idx(b, p, t, c, L):
+        return (b, 0, 0, 0)
+
+    kernel = functools.partial(
+        _decode_kernel,
+        n_kv=n_kv,
+        page_size=cfg.page_size,
+        max_pages=max_pages,
+        scale=float(scale),
+        quantized=quantized,
+        gamma=gamma,
+    )
+
+    k_scales = cache.k_scales
+    v_scales = cache.v_scales
+    if not quantized:
+        k_scales = jnp.ones((n_kv, 1, 1, cfg.page_size), jnp.float32)
+        v_scales = k_scales
+
+    def scales_idx(b, p, t, c, L):
+        if quantized:
+            return page_idx(b, p, t, c, L)
+        return (0, 0, 0, 0)
+
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(max_seqs, max_pages),
+            in_specs=[
+                pl.BlockSpec((1, n_kv, rows_pad, d_pad), q_idx),
+                pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
+                pl.BlockSpec((n_kv, 1, 1, cfg.page_size), scales_idx),
+                pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
+                pl.BlockSpec((n_kv, 1, 1, cfg.page_size), scales_idx),
+            ],
+            out_specs=[pl.BlockSpec((1, n_kv, rows_pad, d_pad), q_idx)],
+            scratch_shapes=[
+                pltpu.VMEM((n_kv, rows_pad, d_pad), jnp.float32),
+                pltpu.VMEM((n_kv, rows_pad, LANE), jnp.float32),
+                pltpu.VMEM((n_kv, rows_pad, LANE), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((max_seqs, n_kv, rows_pad, d_pad), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(cache.page_tables), counts.astype(jnp.int32),
+      cache.lengths.astype(jnp.int32),
+      qg, cache.k_pages, k_scales, cache.v_pages, v_scales)[0]
+
+    o = o[:, :, :rows].reshape(max_seqs, n_kv, g, gamma, d_pad)[..., :d]
+    return jnp.transpose(o, (0, 3, 1, 2, 4)).reshape(max_seqs, gamma, n_q_heads, d)

@@ -26,7 +26,7 @@ import numpy as np
 from ..mask_rules import CausalRule
 from ..models.transformer import ModelConfig, _mlp_block, _rms_norm
 from ..parallel.sharded import mha
-from .decode import paged_decode_attention
+from .decode import paged_decode_attention, paged_multitoken_decode
 from .kv_cache import (
     KVCacheConfig,
     PagedKVCache,
@@ -59,6 +59,19 @@ class EngineConfig:
     prefill_mode: str = "chunked"
     prefill_chunk: int = 128
     prefix_caching: bool = True  # chunked mode only
+    # speculative decoding: number of draft tokens per step proposed by
+    # prompt-lookup (n-gram) self-speculation; 0 disables.  Greedy slots
+    # verify losslessly (output identical to non-speculative greedy);
+    # sampled slots fall back to 1 token/step within the same batch.
+    speculative_tokens: int = 0
+    spec_lookup_window: int = 512  # n-gram search window (host)
+
+
+def _rope_at_batch(x, pos, theta):
+    """Rotary embedding for token grids: x (S, T, h, d), pos (S, T)."""
+    S, T, h, d = x.shape
+    return _rope_at(x.reshape(S * T, h, d), pos.reshape(S * T), theta
+                    ).reshape(S, T, h, d)
 
 
 def _rope_at(x, pos, theta):
@@ -108,6 +121,8 @@ class DecodeEngine:
         self._prompts: Dict[int, List[int]] = {}
         self._sampling: Dict[int, tuple] = {}
         self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(1,))
+        self._spec_step = jax.jit(self._spec_step_impl, donate_argnums=(1,))
+        self.spec_stats = {"proposed": 0, "accepted": 0}
         self._prefill = {
             b: jax.jit(functools.partial(self._prefill_impl, b))
             for b in engine_cfg.prefill_buckets
@@ -208,6 +223,43 @@ class DecodeEngine:
         logits = x @ params["embed"].astype(x.dtype).T
         next_tokens = sample_tokens(logits, key, temps, top_ks, top_ps)
         return next_tokens, new_caches
+
+    def _spec_step_impl(self, params, caches, tokens, active, key,
+                        temps, top_ks, top_ps):
+        """Speculative step: ``tokens`` (S, gamma) = [last, draft_1..] per
+        slot.  Appends all gamma tokens' K/V, runs the multi-token decode
+        kernel, and returns per-position greedy argmaxes plus a sampled
+        token from position 0 (for sampled slots, which fall back to one
+        token per step).  The host verifies drafts and rolls back lengths
+        — rollback is just a length decrement, since appends are
+        positional and later appends overwrite rejected rows in place."""
+        cfg = self.mcfg
+        S, gamma = tokens.shape
+        pos0 = caches[0].lengths
+        pos = pos0[:, None] + jnp.arange(gamma, dtype=jnp.int32)[None, :]
+        x = params["embed"].astype(cfg.dtype)[tokens]      # (S, gamma, d_model)
+        new_caches = []
+        for layer, cache in zip(params["layers"], caches):
+            h = _rms_norm(x, layer["ln1"])
+            q = (h @ layer["wq"].astype(h.dtype)).reshape(S, gamma, cfg.n_heads, cfg.d_head)
+            k = (h @ layer["wk"].astype(h.dtype)).reshape(S, gamma, cfg.n_kv_heads, cfg.d_head)
+            v = (h @ layer["wv"].astype(h.dtype)).reshape(S, gamma, cfg.n_kv_heads, cfg.d_head)
+            q = _rope_at_batch(q, pos, cfg.rope_theta)
+            k = _rope_at_batch(k, pos, cfg.rope_theta)
+            for i in range(gamma):
+                cache = append_tokens_batched(
+                    cache, self.ccfg, k[:, i], v[:, i], active,
+                    self.trash_page, interpret=self.interpret)
+            o = paged_multitoken_decode(q, cache, self.ccfg,
+                                        interpret=self.interpret)
+            x = x + o.reshape(S, gamma, -1).astype(x.dtype) @ layer["wo"].astype(x.dtype)
+            x = _mlp_block(cfg, layer, x)[0]
+            new_caches.append(cache)
+        x = _rms_norm(x, params["final_norm"])
+        logits = x @ params["embed"].astype(x.dtype).T     # (S, gamma, vocab)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        sampled0 = sample_tokens(logits[:, 0], key, temps, top_ks, top_ps)
+        return greedy, sampled0, new_caches
 
     # ---- host-side serving loop ----
 
@@ -319,13 +371,18 @@ class DecodeEngine:
             if eos_id is not None and first_tok == eos_id:
                 self._slots[slot]["remaining"] = 0
 
-    def _ensure_capacity(self):
+    def _ensure_capacity(self, n_tokens: int = 1):
+        """Map pages for the next ``n_tokens`` appends of every active slot."""
+        ps = self.ecfg.page_size
         for slot, st in enumerate(self._slots):
             if st is None:
                 continue
-            # the upcoming append targets position `length`
-            if st["length"] % self.ecfg.page_size == 0:
-                logical = st["length"] // self.ecfg.page_size
+            # appends target positions length .. length+n_tokens-1; pages
+            # covering positions < length are already mapped
+            length = st["length"]
+            first_unmapped = length // ps + (1 if length % ps else 0)
+            last_needed = (length + n_tokens - 1) // ps
+            for logical in range(first_unmapped, last_needed + 1):
                 page = self._alloc_pages(slot, 1)[0]
                 for i in range(len(self.caches)):
                     self.caches[i] = assign_page(self.caches[i], slot, logical, page)
@@ -346,9 +403,96 @@ class DecodeEngine:
     def num_active(self) -> int:
         return sum(st is not None for st in self._slots)
 
+    def _propose(self, hist: List[int], n_draft: int) -> List[int]:
+        """Prompt-lookup drafts: continuation of the most recent earlier
+        occurrence of the history's last n-gram (n = 3, 2, 1)."""
+        w = self.ecfg.spec_lookup_window
+        h = hist[-w:] if len(hist) > w else hist
+        for n in (3, 2, 1):
+            if len(h) <= n:
+                continue
+            pat = h[-n:]
+            for j in range(len(h) - n - 1, -1, -1):
+                if h[j:j + n] == pat:
+                    cont = h[j + n:j + n + n_draft]
+                    if cont:
+                        return list(cont) + [cont[-1]] * (n_draft - len(cont))
+        return [h[-1]] * n_draft
+
+    def _step_speculative(self) -> int:
+        """One speculative step: propose drafts, verify in one multi-token
+        pass, commit the accepted prefix + one model token per slot."""
+        gamma = self.ecfg.speculative_tokens + 1
+        self._admit()
+        self._retire()
+        if self.num_active == 0:
+            return 0
+        self._ensure_capacity(gamma)
+        S = self.ecfg.max_seqs
+        tok_mat = np.zeros((S, gamma), np.int64)
+        for slot, st in enumerate(self._slots):
+            if st is None:
+                continue
+            tok_mat[slot, 0] = st["last"]
+            tok_mat[slot, 1:] = self._propose(
+                self._results[st["rid"]], gamma - 1)
+        active = jnp.asarray([st is not None for st in self._slots])
+        dflt = SamplingParams()
+        sps = [st["sampling"] if st else dflt for st in self._slots]
+        temps = jnp.asarray([sp.temperature for sp in sps], jnp.float32)
+        top_ks = jnp.asarray([sp.top_k for sp in sps], jnp.int32)
+        top_ps = jnp.asarray([sp.top_p for sp in sps], jnp.float32)
+        key = jax.random.fold_in(self._base_key, 0x5A0 + self._step_counter)
+        self._step_counter += 1
+        greedy, sampled0, self.caches = self._spec_step(
+            self.params, self.caches, jnp.asarray(tok_mat, jnp.int32),
+            active, key, temps, top_ks, top_ps)
+        greedy = np.asarray(greedy)
+        sampled0 = np.asarray(sampled0)
+        produced = 0
+        # the device advanced every active slot's length by gamma; roll
+        # back to the committed prefix per slot
+        new_lengths = np.asarray(self.caches[0].lengths).copy()
+        for slot, st in enumerate(self._slots):
+            if st is None:
+                continue
+            if st["sampling"].temperature > 0:
+                new_toks = [int(sampled0[slot])]
+            else:
+                n_acc = 0
+                while (n_acc < gamma - 1 and
+                       tok_mat[slot, n_acc + 1] == greedy[slot, n_acc]):
+                    n_acc += 1
+                new_toks = ([int(t) for t in tok_mat[slot, 1:1 + n_acc]]
+                            + [int(greedy[slot, n_acc])])
+                self.spec_stats["proposed"] += gamma - 1
+                self.spec_stats["accepted"] += n_acc
+            new_toks = new_toks[: st["remaining"]]
+            if st["eos_id"] is not None and st["eos_id"] in new_toks:
+                new_toks = new_toks[: new_toks.index(st["eos_id"]) + 1]
+                st["remaining"] = len(new_toks)
+            n_emit = len(new_toks)
+            # committed K/V: 'last' plus the kept drafts (the final emitted
+            # token's K/V is appended by the next step)
+            new_lengths[slot] = st["length"] + n_emit
+            self._results[st["rid"]].extend(new_toks)
+            st["last"] = new_toks[-1]
+            st["length"] += n_emit
+            st["remaining"] -= n_emit
+            produced += n_emit
+        for i in range(len(self.caches)):
+            # one buffer per layer: a shared array would be donated twice
+            # by the next step's jit
+            self.caches[i] = dataclasses.replace(
+                self.caches[i], lengths=jnp.asarray(new_lengths, jnp.int32))
+        self._retire()
+        return produced
+
     def step(self) -> int:
         """Admit, decode one token for all active slots, retire.  Returns
         the number of tokens produced this step."""
+        if self.ecfg.speculative_tokens > 0:
+            return self._step_speculative()
         self._admit()
         # requests finished at prefill (EOS as first token, or
         # max_new_tokens == 1) retire before consuming a decode step

@@ -424,3 +424,34 @@ def test_engine_speculative_matches_dense_greedy():
     rid2 = eng2.submit(prompt, max_new_tokens=n_new, eos_id=eos)
     res2 = eng2.run(max_steps=50)
     assert res2[rid2] == want[: len(prompt) + 5], (res2[rid2], want)
+
+
+def test_engine_tensor_parallel_matches_dense_greedy():
+    """TP engine (sharded params + head-sharded cache under shard_map)
+    produces exactly the single-chip greedy tokens."""
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 devices")
+    from tf_flash_attention_tpu.parallel.mesh import make_mesh
+
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    mesh = make_mesh((1, 2), ("data", "model"), jax.devices()[:2])
+    ecfg = EngineConfig(max_seqs=2, page_size=64, n_pages=32,
+                        max_pages_per_seq=4, quantized_kv=False,
+                        prefill_mode="chunked", prefill_chunk=8,
+                        prefix_caching=True)
+    eng = DecodeEngine(MCFG, params, ecfg, mesh=mesh)
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9, 10, 11, 12, 13]]
+    rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    results = eng.run(max_steps=50)
+    for rid, prompt in zip(rids, prompts):
+        want = greedy_dense(params, prompt, 6)
+        assert results[rid] == want, (results[rid], want)
+
+    # speculative + TP together
+    eng2 = DecodeEngine(MCFG, params,
+                        dataclasses.replace(ecfg, speculative_tokens=3),
+                        mesh=mesh)
+    prompt = [5, 9, 5, 9, 5, 9, 5, 9, 5]
+    rid = eng2.submit(prompt, max_new_tokens=8)
+    res = eng2.run(max_steps=30)
+    assert res[rid] == greedy_dense(params, prompt, 8)

@@ -87,12 +87,40 @@ def _rope_at(x, pos, theta):
 
 
 class DecodeEngine:
+    """Continuous-batching engine; optionally tensor-parallel.
+
+    With ``mesh`` (a mesh containing a ``model`` axis), parameters are
+    sharded Megatron-style (wq/wk/wv/w1/w3 column, wo/w2 row), the paged
+    KV cache is sharded on its head axis (each chip holds its head
+    shard's pages AND their INT8 scales — zero collectives inside
+    attention), and every compiled step runs under ``shard_map`` with one
+    ``psum`` per projection.  Across hosts the same specs span processes
+    via ``jax.distributed`` — axis placement is the only control surface
+    (BASELINE north star: heads+cache sharded over a v5e-16 slice).
+    """
+
     def __init__(self, model_cfg: ModelConfig, params, engine_cfg: EngineConfig = EngineConfig(),
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None, mesh=None, model_axis: str = "model"):
         self.mcfg = model_cfg
         self.ecfg = engine_cfg
         self.params = params
         self.interpret = (jax.default_backend() not in ("tpu",)) if interpret is None else interpret
+
+        self.mesh = mesh
+        tp = int(mesh.shape[model_axis]) if mesh is not None else 1
+        self._tp_axis = model_axis if tp > 1 else None
+        self.tp = tp
+        if tp > 1:
+            if model_cfg.n_heads % tp or model_cfg.n_kv_heads % tp:
+                raise ValueError(
+                    f"heads ({model_cfg.n_heads}/{model_cfg.n_kv_heads}) not "
+                    f"divisible by tensor-parallel degree {tp}")
+            if model_cfg.n_experts:
+                raise ValueError("tensor-parallel engine does not support MoE")
+            if engine_cfg.prefill_mode != "chunked":
+                raise ValueError("tensor-parallel engine requires chunked prefill")
+        self._n_heads_loc = model_cfg.n_heads // tp
+        self._n_kv_loc = model_cfg.n_kv_heads // tp
 
         self.ccfg = KVCacheConfig(
             n_kv_heads=model_cfg.n_kv_heads,
@@ -104,10 +132,14 @@ class DecodeEngine:
             quantized=engine_cfg.quantized_kv,
             dtype=model_cfg.dtype,
         )
+        self._ccfg_loc = (dataclasses.replace(self.ccfg, n_kv_heads=self._n_kv_loc)
+                          if tp > 1 else self.ccfg)
         self.trash_page = engine_cfg.n_pages - 1
         self.caches: List[PagedKVCache] = [
             PagedKVCache.create(self.ccfg) for _ in range(model_cfg.n_layers)
         ]
+        if tp > 1:
+            self._shard_state()
         self.allocator = SharedPageAllocator(engine_cfg.n_pages - 1)  # exclude trash
         self.prefix_cache = (
             PrefixCache(engine_cfg.page_size)
@@ -120,17 +152,120 @@ class DecodeEngine:
         self._results: Dict[int, List[int]] = {}
         self._prompts: Dict[int, List[int]] = {}
         self._sampling: Dict[int, tuple] = {}
-        self._decode_step = jax.jit(self._decode_step_impl, donate_argnums=(1,))
-        self._spec_step = jax.jit(self._spec_step_impl, donate_argnums=(1,))
+        self._decode_step = self._compile(self._decode_step_impl, n_out_scalars=1)
+        self._spec_step = self._compile(self._spec_step_impl, n_out_scalars=2)
         self.spec_stats = {"proposed": 0, "accepted": 0}
         self._prefill = {
             b: jax.jit(functools.partial(self._prefill_impl, b))
             for b in engine_cfg.prefill_buckets
         }
-        self._chunk_prefill = jax.jit(self._chunk_prefill_impl, donate_argnums=(1,))
+        self._chunk_prefill = self._compile(self._chunk_prefill_impl, n_out_scalars=1)
         self._base_key = jax.random.PRNGKey(engine_cfg.seed)
         self._step_counter = 0
         self._sample1 = jax.jit(sample_tokens)
+
+    # ---- tensor-parallel plumbing ----
+
+    def _param_pspec(self):
+        from jax.sharding import PartitionSpec as P
+        ax = self._tp_axis
+
+        def spec_for(path, leaf):
+            name = None
+            for entry in reversed(path):
+                if hasattr(entry, "key"):
+                    name = entry.key
+                    break
+            if name in ("wq", "wk", "wv", "w1", "w3"):
+                return P(None, ax)
+            if name in ("wo", "w2"):
+                return P(ax, None)
+            return P()
+
+        return jax.tree_util.tree_map_with_path(spec_for, self.params)
+
+    def _cache_pspec(self):
+        from jax.sharding import PartitionSpec as P
+        ax = self._tp_axis
+        pages = P(ax, None, None, None)
+        return PagedKVCache(
+            k_pages=pages, v_pages=pages,
+            k_scales=pages if self.ccfg.quantized else None,
+            v_scales=pages if self.ccfg.quantized else None,
+            page_tables=P(), lengths=P())
+
+    def _shard_state(self):
+        """Place params and caches according to the TP specs."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        ns = lambda spec: NamedSharding(self.mesh, spec)
+        is_p = lambda x: isinstance(x, P)
+        self.params = jax.device_put(
+            self.params, jax.tree.map(ns, self._param_pspec(), is_leaf=is_p))
+        cache_sh = jax.tree.map(ns, self._cache_pspec(), is_leaf=is_p)
+        self.caches = [jax.device_put(c, cache_sh) for c in self.caches]
+
+    def _compile(self, impl, n_out_scalars: int):
+        """jit (single chip) or jit(shard_map) (tensor parallel) a step
+        function of signature (params, caches, *scalars) -> (*outs, caches)."""
+        if self._tp_axis is None:
+            return jax.jit(impl, donate_argnums=(1,))
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        pspec = self._param_pspec()
+        cspec = [self._cache_pspec()] * self.mcfg.n_layers
+
+        def wrapped(params, caches, *rest):
+            return impl(params, caches, *rest)
+
+        n_layers = self.mcfg.n_layers
+
+        def make(n_scalar_in):
+            return jax.jit(
+                shard_map(
+                    wrapped, mesh=self.mesh,
+                    in_specs=(pspec, cspec) + (P(),) * n_scalar_in,
+                    out_specs=(P(),) * n_out_scalars + (cspec,)
+                    if n_out_scalars != 1 else (P(), cspec),
+                    check_vma=False),
+                donate_argnums=(1,))
+
+        # arity differs per step function; build lazily per call count
+        cache = {}
+
+        def call(params, caches, *rest):
+            f = cache.get(len(rest))
+            if f is None:
+                f = make(len(rest))
+                cache[len(rest)] = f
+            return f(params, caches, *rest)
+
+        return call
+
+    def _mlp(self, layer, x):
+        """Dense gated MLP on (..., d_model) with the tensor-parallel
+        reduce before the residual add (models._mlp_block adds the
+        residual internally, so its w2 partial sums cannot be psummed);
+        MoE models route through _mlp_block (single-chip engine only)."""
+        if self.mcfg.n_experts:
+            shp = x.shape
+            y = _mlp_block(self.mcfg, layer, x.reshape(1, -1, shp[-1]))[0]
+            return y.reshape(shp)
+        h = _rms_norm(x, layer["ln2"])
+        gated = jax.nn.silu(h @ layer["w1"].astype(h.dtype)) * (
+            h @ layer["w3"].astype(h.dtype))
+        y = gated @ layer["w2"].astype(h.dtype)
+        if self._tp_axis is not None:
+            y = jax.lax.psum(y, self._tp_axis)
+        return x + y
+
+    def _attn_out(self, layer, x, o):
+        """o (..., heads_loc*d_head) -> residual add with TP reduce."""
+        proj = o.astype(x.dtype) @ layer["wo"].astype(x.dtype)
+        if self._tp_axis is not None:
+            proj = jax.lax.psum(proj, self._tp_axis)
+        return x + proj
 
     # ---- compiled model functions ----
 
@@ -175,20 +310,20 @@ class DecodeEngine:
         new_caches = []
         for layer, cache in zip(params["layers"], caches):
             h = _rms_norm(x, layer["ln1"])
-            q = (h @ layer["wq"].astype(h.dtype)).reshape(chunk, cfg.n_heads, cfg.d_head)
-            k = (h @ layer["wk"].astype(h.dtype)).reshape(chunk, cfg.n_kv_heads, cfg.d_head)
-            v = (h @ layer["wv"].astype(h.dtype)).reshape(chunk, cfg.n_kv_heads, cfg.d_head)
+            q = (h @ layer["wq"].astype(h.dtype)).reshape(chunk, self._n_heads_loc, cfg.d_head)
+            k = (h @ layer["wk"].astype(h.dtype)).reshape(chunk, self._n_kv_loc, cfg.d_head)
+            v = (h @ layer["wv"].astype(h.dtype)).reshape(chunk, self._n_kv_loc, cfg.d_head)
             q = _rope_at(q, pos, cfg.rope_theta)
             k = _rope_at(k, pos, cfg.rope_theta)
             cache = write_tokens_at(
-                cache, self.ccfg, slot, start,
+                cache, self._ccfg_loc, slot, start,
                 jnp.swapaxes(k, 0, 1), jnp.swapaxes(v, 0, 1),
                 true_len, self.trash_page, interpret=self.interpret)
             o = paged_prefill_attention(
-                q, cache, self.ccfg, slot, start, true_len,
+                q, cache, self._ccfg_loc, slot, start, true_len,
                 interpret=self.interpret)
-            x = x + o.reshape(chunk, -1).astype(x.dtype) @ layer["wo"].astype(x.dtype)
-            x = _mlp_block(cfg, layer, x[None])[0][0]
+            x = self._attn_out(layer, x, o.reshape(chunk, -1))
+            x = self._mlp(layer, x)
             new_caches.append(cache)
         x = _rms_norm(x, params["final_norm"])
         logits = x @ params["embed"].astype(x.dtype).T         # (chunk, vocab)
@@ -208,16 +343,16 @@ class DecodeEngine:
         for layer, cache in zip(params["layers"], caches):
             h = _rms_norm(x, layer["ln1"])
             S = h.shape[0]
-            q = (h @ layer["wq"].astype(h.dtype)).reshape(S, cfg.n_heads, cfg.d_head)
-            k = (h @ layer["wk"].astype(h.dtype)).reshape(S, cfg.n_kv_heads, cfg.d_head)
-            v = (h @ layer["wv"].astype(h.dtype)).reshape(S, cfg.n_kv_heads, cfg.d_head)
+            q = (h @ layer["wq"].astype(h.dtype)).reshape(S, self._n_heads_loc, cfg.d_head)
+            k = (h @ layer["wk"].astype(h.dtype)).reshape(S, self._n_kv_loc, cfg.d_head)
+            v = (h @ layer["wv"].astype(h.dtype)).reshape(S, self._n_kv_loc, cfg.d_head)
             q = _rope_at(q, pos, cfg.rope_theta)
             k = _rope_at(k, pos, cfg.rope_theta)
-            cache = append_tokens_batched(cache, self.ccfg, k, v, active,
+            cache = append_tokens_batched(cache, self._ccfg_loc, k, v, active,
                                           self.trash_page, interpret=self.interpret)
-            o = paged_decode_attention(q, cache, self.ccfg, interpret=self.interpret)
-            x = x + o.reshape(S, -1).astype(x.dtype) @ layer["wo"].astype(x.dtype)
-            x = _mlp_block(cfg, layer, x[:, None, :])[0][:, 0, :]
+            o = paged_decode_attention(q, cache, self._ccfg_loc, interpret=self.interpret)
+            x = self._attn_out(layer, x, o.reshape(S, -1))
+            x = self._mlp(layer, x)
             new_caches.append(cache)
         x = _rms_norm(x, params["final_norm"])
         logits = x @ params["embed"].astype(x.dtype).T
@@ -241,19 +376,19 @@ class DecodeEngine:
         new_caches = []
         for layer, cache in zip(params["layers"], caches):
             h = _rms_norm(x, layer["ln1"])
-            q = (h @ layer["wq"].astype(h.dtype)).reshape(S, gamma, cfg.n_heads, cfg.d_head)
-            k = (h @ layer["wk"].astype(h.dtype)).reshape(S, gamma, cfg.n_kv_heads, cfg.d_head)
-            v = (h @ layer["wv"].astype(h.dtype)).reshape(S, gamma, cfg.n_kv_heads, cfg.d_head)
+            q = (h @ layer["wq"].astype(h.dtype)).reshape(S, gamma, self._n_heads_loc, cfg.d_head)
+            k = (h @ layer["wk"].astype(h.dtype)).reshape(S, gamma, self._n_kv_loc, cfg.d_head)
+            v = (h @ layer["wv"].astype(h.dtype)).reshape(S, gamma, self._n_kv_loc, cfg.d_head)
             q = _rope_at_batch(q, pos, cfg.rope_theta)
             k = _rope_at_batch(k, pos, cfg.rope_theta)
             for i in range(gamma):
                 cache = append_tokens_batched(
-                    cache, self.ccfg, k[:, i], v[:, i], active,
+                    cache, self._ccfg_loc, k[:, i], v[:, i], active,
                     self.trash_page, interpret=self.interpret)
-            o = paged_multitoken_decode(q, cache, self.ccfg,
+            o = paged_multitoken_decode(q, cache, self._ccfg_loc,
                                         interpret=self.interpret)
-            x = x + o.reshape(S, gamma, -1).astype(x.dtype) @ layer["wo"].astype(x.dtype)
-            x = _mlp_block(cfg, layer, x)[0]
+            x = self._attn_out(layer, x, o.reshape(S, gamma, -1))
+            x = self._mlp(layer, x)
             new_caches.append(cache)
         x = _rms_norm(x, params["final_norm"])
         logits = x @ params["embed"].astype(x.dtype).T     # (S, gamma, vocab)

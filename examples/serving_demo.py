@@ -24,11 +24,15 @@ def main():
 
     engine = DecodeEngine(cfg, params, EngineConfig(
         max_seqs=4, page_size=128, n_pages=32, max_pages_per_seq=4,
-        quantized_kv=True, prefill_buckets=(128,)))
+        quantized_kv=True,
+        prefill_mode="chunked", prefill_chunk=128,  # chunked prefill
+        prefix_caching=True,                        # shared-prefix page reuse
+        speculative_tokens=3))                      # prompt-lookup speculation
 
+    shared_prefix = list(range(1, 129))  # one full page, cached after req 0
     rids = [
-        engine.submit([1, 2, 3, 4, 5], max_new_tokens=12),
-        engine.submit([9, 8, 7], max_new_tokens=12),
+        engine.submit(shared_prefix + [1, 2, 3], max_new_tokens=12),
+        engine.submit(shared_prefix + [9, 8], max_new_tokens=12),  # prefix hit
         engine.submit([42] * 10, max_new_tokens=12),
         engine.submit([5, 5], max_new_tokens=12),
         engine.submit([13, 17, 19], max_new_tokens=12),  # queues until a slot frees
@@ -36,6 +40,9 @@ def main():
     results = engine.run(max_steps=60)
     for rid in rids:
         print(f"request {rid}: {results[rid]}")
+    print(f"prefix cache: {engine.prefix_cache.hits} hits, "
+          f"{len(engine.prefix_cache)} pages registered")
+    print(f"speculation: {engine.spec_stats}")
 
 
 if __name__ == "__main__":

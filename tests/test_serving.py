@@ -455,3 +455,186 @@ def test_engine_tensor_parallel_matches_dense_greedy():
     rid = eng2.submit(prompt, max_new_tokens=8)
     res = eng2.run(max_steps=30)
     assert res[rid] == greedy_dense(params, prompt, 8)
+
+
+# ---- INT4 (nibble-packed) KV cache ----
+
+def _dense_oracle_from(k, v, q):
+    """Dense attention oracle on explicit K/V: q (n_q, d) -> (n_q, d)."""
+    n_kv, t, d = k.shape
+    n_q = q.shape[0]
+    g = n_q // n_kv
+    qg = np.asarray(q).reshape(n_kv, g, d)
+    s = np.einsum("hgd,htd->hgt", qg, np.asarray(k)) / np.sqrt(d)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("hgt,htd->hgd", p, np.asarray(v)).reshape(n_q, d)
+
+
+def test_int4_cache_roundtrip_accuracy():
+    rng = np.random.default_rng(21)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=64, n_pages=8,
+                        max_seqs=1, max_pages_per_seq=2, quantized=True,
+                        quant_dtype="int4")
+    cache = PagedKVCache.create(cfg)
+    # payload halves along the token axis; scales gain the even/odd rows
+    assert cache.k_pages.shape == (2, 8, 32, cfg.head_dim_store)
+    assert cache.k_scales.shape == (2, 8, 2, 32)
+    alloc = PageAllocator(cfg.n_pages - 1)
+    t = 100
+    k = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    cache = write_prompt(cache, cfg, 0, np.array(alloc.alloc(0, 2)), k, v)
+    q = jnp.asarray(rng.uniform(-1, 1, (1, 4, 32)), jnp.float32)
+    o = paged_decode_attention(q, cache, cfg)
+    ref = _dense_oracle_from(np.asarray(k), np.asarray(v), np.asarray(q[0]))
+    err = np.abs(np.asarray(o[0]) - ref).max()
+    assert err < 1.5e-1, err  # int4 quantization tolerance
+
+    # against the *dequantized* cache contents the kernel must be tight
+    from tf_flash_attention_tpu.serving.kv_cache import gather_sequence_kv
+    kd, vd = gather_sequence_kv(cache, cfg, 0)
+    ref_dq = _dense_oracle_from(kd, vd, np.asarray(q[0]))
+    # int4 compute runs through bf16 matmuls, so "tight" means bf16 rounding
+    err_dq = np.abs(np.asarray(o[0]) - ref_dq).max()
+    assert err_dq < 2e-2, err_dq
+
+
+def test_int4_write_paths_agree():
+    """write_prompt, write_tokens_at (chunked), and append paths produce
+    identical packed bytes and scales for the same token stream."""
+    from tf_flash_attention_tpu.serving.kv_cache import (
+        append_token, append_tokens_batched, write_tokens_at)
+
+    rng = np.random.default_rng(22)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=32, n_pages=8,
+                        max_seqs=1, max_pages_per_seq=4, quantized=True,
+                        quant_dtype="int4")
+    t = 64
+    k = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    pages = np.array([3, 1])
+
+    bulk = PagedKVCache.create(cfg)
+    bulk = write_prompt(bulk, cfg, 0, pages, k, v)
+
+    # chunked positional writes (XLA scatter path in interpret mode)
+    chunked = PagedKVCache.create(cfg)
+    chunked = dataclasses.replace(
+        chunked, page_tables=chunked.page_tables.at[0, :2].set(
+            jnp.asarray(pages, jnp.int32)))
+    for start, n in ((0, 40), (40, 24)):
+        kc = jnp.pad(k[:, start:start + n], ((0, 0), (0, 40 - n), (0, 0)))
+        vc = jnp.pad(v[:, start:start + n], ((0, 0), (0, 40 - n), (0, 0)))
+        chunked = write_tokens_at(chunked, cfg, 0, start, kc, vc, n,
+                                  trash_page=cfg.n_pages - 1)
+    for p in pages:
+        np.testing.assert_array_equal(np.asarray(bulk.k_pages[:, p]),
+                                      np.asarray(chunked.k_pages[:, p]))
+        np.testing.assert_array_equal(np.asarray(bulk.v_pages[:, p]),
+                                      np.asarray(chunked.v_pages[:, p]))
+        np.testing.assert_array_equal(np.asarray(bulk.k_scales[:, p]),
+                                      np.asarray(chunked.k_scales[:, p]))
+
+    # token-by-token appends (both the single and batched spec paths)
+    single = PagedKVCache.create(cfg)
+    single = dataclasses.replace(
+        single, page_tables=single.page_tables.at[0, :2].set(
+            jnp.asarray(pages, jnp.int32)))
+    batched = single
+    for i in range(t):
+        single = append_token(single, cfg, 0, k[:, i], v[:, i])
+        batched = append_tokens_batched(
+            batched, cfg, k[None, :, i], v[None, :, i],
+            jnp.asarray([True]), trash_page=cfg.n_pages - 1)
+    for got in (single, batched):
+        for p in pages:
+            np.testing.assert_array_equal(np.asarray(bulk.k_pages[:, p]),
+                                          np.asarray(got.k_pages[:, p]))
+            np.testing.assert_array_equal(np.asarray(bulk.v_scales[:, p]),
+                                          np.asarray(got.v_scales[:, p]))
+
+
+def test_int4_paged_prefill_matches_dense():
+    from tf_flash_attention_tpu.serving.kv_cache import write_tokens_at
+    from tf_flash_attention_tpu.serving.prefill import paged_prefill_attention
+
+    rng = np.random.default_rng(23)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=64, n_pages=16,
+                        max_seqs=2, max_pages_per_seq=4, quantized=True,
+                        quant_dtype="int4")
+    cache = PagedKVCache.create(cfg)
+    alloc = PageAllocator(cfg.n_pages - 1)
+    start, chunk, true = 70, 48, 40
+    k_hist = jnp.asarray(rng.uniform(-1, 1, (2, start, 32)), jnp.float32)
+    v_hist = jnp.asarray(rng.uniform(-1, 1, (2, start, 32)), jnp.float32)
+    cache = write_prompt(cache, cfg, 0, np.array(alloc.alloc(0, 2)), k_hist, v_hist)
+    k_new = jnp.asarray(rng.uniform(-1, 1, (2, chunk, 32)), jnp.float32)
+    v_new = jnp.asarray(rng.uniform(-1, 1, (2, chunk, 32)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-1, 1, (chunk, 4, 32)), jnp.float32)
+    cache = write_tokens_at(cache, cfg, 0, start, k_new, v_new, true,
+                            trash_page=cfg.n_pages - 1)
+    o = paged_prefill_attention(q, cache, cfg, 0, start, true)
+    k_all = jnp.concatenate([k_hist, k_new[:, :true]], axis=1)
+    v_all = jnp.concatenate([v_hist, v_new[:, :true]], axis=1)
+    ref = _dense_causal_ref(k_all, v_all, q[:true], start)
+    err = np.abs(np.asarray(o[:true]) - ref).max()
+    assert err < 1.5e-1, err
+
+    # tight against the dequantized contents
+    from tf_flash_attention_tpu.serving.kv_cache import gather_sequence_kv
+    kd, vd = gather_sequence_kv(cache, cfg, 0)
+    ref_dq = _dense_causal_ref(jnp.asarray(kd), jnp.asarray(vd), q[:true], start)
+    err_dq = np.abs(np.asarray(o[:true]) - ref_dq).max()
+    assert err_dq < 2e-2, err_dq
+
+
+def test_int4_multitoken_decode_matches_oracle():
+    from tf_flash_attention_tpu.serving.decode import paged_multitoken_decode
+    from tf_flash_attention_tpu.serving.kv_cache import gather_sequence_kv
+
+    rng = np.random.default_rng(24)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=64, n_pages=16,
+                        max_seqs=2, max_pages_per_seq=4, quantized=True,
+                        quant_dtype="int4")
+    cache = PagedKVCache.create(cfg)
+    alloc = PageAllocator(cfg.n_pages - 1)
+    base, gamma = 70, 3
+    total = base + gamma
+    k = jnp.asarray(rng.uniform(-1, 1, (2, total, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, total, 32)), jnp.float32)
+    cache = write_prompt(cache, cfg, 0, np.array(alloc.alloc(0, 2)), k, v)
+    q = jnp.asarray(rng.uniform(-1, 1, (2, gamma, 4, 32)), jnp.float32)
+    o = paged_multitoken_decode(q, cache, cfg)
+    kd, vd = gather_sequence_kv(cache, cfg, 0)
+    for i in range(gamma):
+        kv_len = base + i + 1
+        ref = _dense_oracle_from(kd[:, :kv_len], vd[:, :kv_len],
+                                 np.asarray(q[0, i]))
+        np.testing.assert_allclose(np.asarray(o[0, i]), ref,
+                                   rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(o[1]), 0.0)
+
+
+def test_engine_int4_kv_runs_greedy():
+    """End-to-end engine sanity with the int4 cache: chunked prefill +
+    decode + speculation all run; tokens match the same engine re-run
+    (determinism) and lengths are correct.  Exact dense-greedy parity is
+    not required at 4-bit — the accuracy contract is the kernel-vs-
+    dequantized-oracle checks above."""
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_seqs=2, page_size=64, n_pages=32,
+                        max_pages_per_seq=4, quantized_kv=True,
+                        kv_quant_dtype="int4", prefill_mode="chunked",
+                        prefill_chunk=8, prefix_caching=True)
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9, 10, 11]]
+    eng = DecodeEngine(MCFG, params, ecfg)
+    rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    results = eng.run(max_steps=50)
+    eng2 = DecodeEngine(MCFG, params, ecfg)
+    rids2 = [eng2.submit(p, max_new_tokens=6) for p in prompts]
+    results2 = eng2.run(max_steps=50)
+    for rid, rid2, prompt in zip(rids, rids2, prompts):
+        assert len(results[rid]) == len(prompt) + 6
+        assert results[rid] == results2[rid2]
+        assert all(0 <= t < MCFG.vocab for t in results[rid])

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..block_sizes import LANE, VMEM_LIMIT, pad_to
 from ..ops.kernel_common import LOG2E, NEG_INF_F32
-from .kv_cache import KVCacheConfig, PagedKVCache
+from .kv_cache import KVCacheConfig, PagedKVCache, _unpack_nibbles
 
 __all__ = ["paged_decode_attention", "paged_multitoken_decode"]
 
@@ -62,10 +62,12 @@ def _decode_kernel(
     max_pages: int,
     scale: float,
     quantized: bool,
+    pack: int = 1,
     gamma: int = 1,
 ):
     b = pl.program_id(0)
     p = pl.program_id(1)
+    page_rows = page_size // pack
 
     @pl.when(p == 0)
     def _init():
@@ -75,52 +77,74 @@ def _decode_kernel(
 
     @pl.when(p < counts_ref[b])
     def _compute():
-        token_pos = p * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, page_size), 2)
-        if gamma == 1:
-            bounds = token_pos < lengths_ref[b]
-        else:
+        def bounds_for(token_pos):
+            if gamma == 1:
+                return token_pos < lengths_ref[b]
             # speculative multi-token decode: row r holds draft position
             # r mod gamma at absolute position lengths - gamma + (r mod
             # gamma); it attends causally up to and including itself
             row_mod = jax.lax.broadcasted_iota(
                 jnp.int32, (1, q_ref.shape[2], 1), 1) % gamma
-            bounds = token_pos < (lengths_ref[b] - (gamma - 1) + row_mod)
+            return token_pos < (lengths_ref[b] - (gamma - 1) + row_mod)
+
         # all heads at once via head-batched dot_generals: one op stream per
         # page regardless of head count (decode is per-step-overhead bound)
         q = q_ref[0]                               # (n_kv, g_pad, d)
-        k = k_ref[:, 0]                            # (n_kv, page, d)
+        k = k_ref[:, 0]                            # (n_kv, page_rows, d)
         v = v_ref[:, 0]
-        if quantized:
-            k = k.astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
-            q.astype(k.dtype), k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                          # (n_kv, g_pad, page)
-        if quantized:
-            # post-scale: per-token K scales fold into the logits multiply
-            s = s * (ks_ref[:, 0] * jnp.float32(scale * LOG2E))
+        if pack == 2:
+            # int4: byte row r holds tokens 2r (low nibble) / 2r+1 (high);
+            # attend to the even/odd halves as two half-page key sets
+            ke, ko = _unpack_nibbles(k)
+            ve, vo = _unpack_nibbles(v)
+            halves = ((ke.astype(jnp.bfloat16), ve.astype(jnp.bfloat16), 0),
+                      (ko.astype(jnp.bfloat16), vo.astype(jnp.bfloat16), 1))
         else:
-            s = s * jnp.float32(scale * LOG2E)
-        s = jnp.where(bounds, s, NEG_INF_F32)
+            if quantized:
+                k = k.astype(jnp.bfloat16)
+                v = v.astype(jnp.bfloat16)
+            halves = ((k, v, 0),)
+
+        parts = []
+        for kh, vh, nib in halves:
+            s = jax.lax.dot_general(
+                q.astype(kh.dtype), kh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                      # (n_kv, g_pad, page_rows)
+            if quantized:
+                # post-scale: per-token K scales fold into the logits multiply
+                s = s * (ks_ref[:, 0, nib][:, None, :] * jnp.float32(scale * LOG2E))
+            else:
+                s = s * jnp.float32(scale * LOG2E)
+            token_pos = (p * page_size + nib) + pack * jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, page_rows), 2)
+            s = jnp.where(bounds_for(token_pos), s, NEG_INF_F32)
+            parts.append((s, vh, nib))
 
         m_prev = m_scratch[:, :, :1]
         l_prev = l_scratch[:, :, :1]
-        m_curr = jnp.max(s, axis=2, keepdims=True)
+        m_curr = parts[0][0].max(axis=2, keepdims=True)
+        for s, _, _ in parts[1:]:
+            m_curr = jnp.maximum(m_curr, s.max(axis=2, keepdims=True))
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
-        pw = jnp.exp2(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(pw, axis=2, keepdims=True)
+        pv = None
+        l_add = None
+        for s, vh, nib in parts:
+            pw = jnp.exp2(s - m_next)
+            ps = jnp.sum(pw, axis=2, keepdims=True)
+            l_add = ps if l_add is None else l_add + ps
+            if quantized:
+                # post-scale: per-token V scales fold into the probabilities
+                pw = pw * vs_ref[:, 0, nib][:, None, :]
+            contrib = jax.lax.dot_general(
+                pw.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                      # (n_kv, g_pad, d)
+            pv = contrib if pv is None else pv + contrib
+        l_next = alpha * l_prev + l_add
         m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
-        if quantized:
-            # post-scale: per-token V scales fold into the probabilities
-            pw = pw * vs_ref[:, 0]
-        pv = jax.lax.dot_general(
-            pw.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                          # (n_kv, g_pad, d)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
     @pl.when(p == max_pages - 1)
@@ -162,6 +186,8 @@ def paged_decode_attention(
     counts = -(-cache.lengths // cfg.page_size)
     max_pages = cfg.max_pages_per_seq
     quantized = cfg.quantized
+    pack = cfg.tok_pack
+    page_rows = cfg.page_rows
 
     def page_idx(b, p, t, c, L):
         lp = jnp.maximum(0, jnp.minimum(p, c[b] - 1))
@@ -177,13 +203,14 @@ def paged_decode_attention(
         max_pages=max_pages,
         scale=float(scale),
         quantized=quantized,
+        pack=pack,
     )
 
     k_scales = cache.k_scales
     v_scales = cache.v_scales
     if not quantized:
         # dummy 1-page scale operands keep the kernel signature uniform
-        k_scales = jnp.ones((n_kv, 1, 1, cfg.page_size), jnp.float32)
+        k_scales = jnp.ones((n_kv, 1, 1, page_rows), jnp.float32)
         v_scales = k_scales
 
     def scales_idx(b, p, t, c, L):
@@ -191,6 +218,7 @@ def paged_decode_attention(
             return page_idx(b, p, t, c, L)
         return (0, 0, 0, 0)
 
+    sc_rows = k_scales.shape[2]
     o = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -198,10 +226,10 @@ def paged_decode_attention(
             grid=(max_seqs, max_pages),
             in_specs=[
                 pl.BlockSpec((1, n_kv, g_pad, d_pad), q_idx),
-                pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
-                pl.BlockSpec((n_kv, 1, 1, cfg.page_size), scales_idx),
-                pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
-                pl.BlockSpec((n_kv, 1, 1, cfg.page_size), scales_idx),
+                pl.BlockSpec((n_kv, 1, page_rows, d_pad), page_idx),
+                pl.BlockSpec((n_kv, 1, sc_rows, page_rows), scales_idx),
+                pl.BlockSpec((n_kv, 1, page_rows, d_pad), page_idx),
+                pl.BlockSpec((n_kv, 1, sc_rows, page_rows), scales_idx),
             ],
             out_specs=[pl.BlockSpec((1, n_kv, g_pad, d_pad), q_idx)],
             scratch_shapes=[
@@ -269,6 +297,8 @@ def paged_multitoken_decode(
     counts = -(-cache.lengths // cfg.page_size)
     max_pages = cfg.max_pages_per_seq
     quantized = cfg.quantized
+    pack = cfg.tok_pack
+    page_rows = cfg.page_rows
 
     def page_idx(b, p, t, c, L):
         lp = jnp.maximum(0, jnp.minimum(p, c[b] - 1))
@@ -284,13 +314,14 @@ def paged_multitoken_decode(
         max_pages=max_pages,
         scale=float(scale),
         quantized=quantized,
+        pack=pack,
         gamma=gamma,
     )
 
     k_scales = cache.k_scales
     v_scales = cache.v_scales
     if not quantized:
-        k_scales = jnp.ones((n_kv, 1, 1, cfg.page_size), jnp.float32)
+        k_scales = jnp.ones((n_kv, 1, 1, page_rows), jnp.float32)
         v_scales = k_scales
 
     def scales_idx(b, p, t, c, L):
@@ -298,6 +329,7 @@ def paged_multitoken_decode(
             return page_idx(b, p, t, c, L)
         return (0, 0, 0, 0)
 
+    sc_rows = k_scales.shape[2]
     o = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -305,10 +337,10 @@ def paged_multitoken_decode(
             grid=(max_seqs, max_pages),
             in_specs=[
                 pl.BlockSpec((1, n_kv, rows_pad, d_pad), q_idx),
-                pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
-                pl.BlockSpec((n_kv, 1, 1, cfg.page_size), scales_idx),
-                pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
-                pl.BlockSpec((n_kv, 1, 1, cfg.page_size), scales_idx),
+                pl.BlockSpec((n_kv, 1, page_rows, d_pad), page_idx),
+                pl.BlockSpec((n_kv, 1, sc_rows, page_rows), scales_idx),
+                pl.BlockSpec((n_kv, 1, page_rows, d_pad), page_idx),
+                pl.BlockSpec((n_kv, 1, sc_rows, page_rows), scales_idx),
             ],
             out_specs=[pl.BlockSpec((1, n_kv, rows_pad, d_pad), q_idx)],
             scratch_shapes=[

@@ -50,6 +50,9 @@ class EngineConfig:
     n_pages: int = 64           # includes 1 reserved trash page
     max_pages_per_seq: int = 16
     quantized_kv: bool = True
+    # int8 (default), float8_e4m3fn, or "int4" (nibble-packed; halves the
+    # decode-path HBM traffic again vs int8 — decode is bandwidth-bound)
+    kv_quant_dtype: object = jnp.int8
     prefill_buckets: tuple = (128, 512)
     seed: int = 0               # PRNG seed for sampled requests
     # "chunked": prompts run prefill_chunk tokens at a time through the
@@ -130,6 +133,7 @@ class DecodeEngine:
             max_seqs=engine_cfg.max_seqs,
             max_pages_per_seq=engine_cfg.max_pages_per_seq,
             quantized=engine_cfg.quantized_kv,
+            quant_dtype=engine_cfg.kv_quant_dtype,
             dtype=model_cfg.dtype,
         )
         self._ccfg_loc = (dataclasses.replace(self.ccfg, n_kv_heads=self._n_kv_loc)

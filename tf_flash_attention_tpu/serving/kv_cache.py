@@ -1,22 +1,32 @@
-"""Paged, optionally INT8-quantized KV cache.
+"""Paged, optionally INT8/FP8/INT4-quantized KV cache.
 
 Serving-side state for multi-sequence decode (no reference counterpart —
 the reference is a stateless op library, SURVEY.md §5).  Virtual-memory
 layout: K/V live in fixed-size pages scattered across HBM; each sequence
-owns a page table.  Values may be stored INT8 with per-token scales,
-dequantized inside the decode kernel.
+owns a page table.  Values may be stored INT8/FP8 with per-token scales,
+or INT4 (two tokens nibble-packed per int8 byte), dequantized inside the
+decode kernel.
 
-Layouts:
-  k_pages, v_pages: (n_kv_heads, n_pages, page_size, head_dim)
-  k_scales, v_scales: (n_kv_heads, n_pages, 1, page_size) f32 (quantized)
+Layouts (``pack`` = tokens per stored byte row: 1 for int8/fp8, 2 for int4):
+  k_pages, v_pages: (n_kv_heads, n_pages, page_size // pack, head_dim)
+  k_scales, v_scales: (n_kv_heads, n_pages, pack, page_size // pack) f32
   page_tables: (max_seqs, max_pages_per_seq) int32
   lengths:     (max_seqs,) int32
 
-Scales are stored *token-minor* — one lane-major row per page — so the
-decode kernel fetches them as a single contiguous (1, page_size) DMA.
-The transposed layout (page_size, 1) costs a one-lane-wide DMA per page,
-which measured ~4x slower end-to-end on v5e (18% -> 71% of the HBM
-bandwidth bound at B=16, ctx=8k).
+Scales are stored *token-minor* — one lane-major row per page (two for
+int4: sublane 0 = even-position tokens, sublane 1 = odd) — so the decode
+kernel fetches them as a single contiguous DMA.  The transposed layout
+(page_size, 1) costs a one-lane-wide DMA per page, which measured ~4x
+slower end-to-end on v5e (18% -> 71% of the HBM bandwidth bound at B=16,
+ctx=8k).
+
+INT4 packs tokens pairwise along the *token* axis (byte row r of a page
+holds token 2r in its low nibble, token 2r+1 in its high nibble), keeping
+the lane (feature) axis at full width so every DMA and matmul tile shape
+is unchanged — native ``jnp.int4`` arrays cannot cross jit boundaries on
+all platforms, and lane-axis packing would shrink tiles below the 128-lane
+width.  Kernels sign-extend the nibbles with two shifts and attend to the
+even/odd halves as two half-page key/value sets.
 
 The page allocator is host-side (free-list); device state is a pytree so
 the whole cache threads through jit.
@@ -36,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..block_sizes import LANE, pad_to
 
-__all__ = ["KVCacheConfig", "PagedKVCache", "PageAllocator", "write_tokens_at"]
+__all__ = ["KVCacheConfig", "PagedKVCache", "PageAllocator", "write_tokens_at",
+           "gather_sequence_kv"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,7 +59,8 @@ class KVCacheConfig:
     max_seqs: int = 8
     max_pages_per_seq: int = 16
     quantized: bool = True
-    quant_dtype: object = jnp.int8    # int8 or float8_e4m3fn payloads
+    # int8, float8_e4m3fn, or the string "int4" (nibble-packed int8 bytes)
+    quant_dtype: object = jnp.int8
     dtype: object = jnp.bfloat16      # payload dtype when not quantized
 
     @property
@@ -56,6 +68,27 @@ class KVCacheConfig:
         # storage feature dim padded to the TPU lane width so kernel block
         # specs never read past the array
         return pad_to(self.head_dim, LANE)
+
+    @property
+    def is_int4(self) -> bool:
+        return self.quantized and isinstance(self.quant_dtype, str) \
+            and self.quant_dtype == "int4"
+
+    @property
+    def tok_pack(self) -> int:
+        """Tokens per stored byte row (2 for int4, else 1)."""
+        return 2 if self.is_int4 else 1
+
+    @property
+    def page_rows(self) -> int:
+        """Payload sublane rows per page (= page_size / tok_pack)."""
+        return self.page_size // self.tok_pack
+
+    @property
+    def payload_dtype(self):
+        if not self.quantized:
+            return self.dtype
+        return jnp.int8 if self.is_int4 else self.quant_dtype
 
 
 @jax.tree_util.register_dataclass
@@ -70,12 +103,11 @@ class PagedKVCache:
 
     @staticmethod
     def create(cfg: KVCacheConfig) -> "PagedKVCache":
-        payload_dtype = cfg.quant_dtype if cfg.quantized else cfg.dtype
-        shape = (cfg.n_kv_heads, cfg.n_pages, cfg.page_size, cfg.head_dim_store)
-        scales_shape = (cfg.n_kv_heads, cfg.n_pages, 1, cfg.page_size)
+        shape = (cfg.n_kv_heads, cfg.n_pages, cfg.page_rows, cfg.head_dim_store)
+        scales_shape = (cfg.n_kv_heads, cfg.n_pages, cfg.tok_pack, cfg.page_rows)
         return PagedKVCache(
-            k_pages=jnp.zeros(shape, payload_dtype),
-            v_pages=jnp.zeros(shape, payload_dtype),
+            k_pages=jnp.zeros(shape, cfg.payload_dtype),
+            v_pages=jnp.zeros(shape, cfg.payload_dtype),
             k_scales=jnp.ones(scales_shape, jnp.float32) if cfg.quantized else None,
             v_scales=jnp.ones(scales_shape, jnp.float32) if cfg.quantized else None,
             page_tables=jnp.zeros((cfg.max_seqs, cfg.max_pages_per_seq), jnp.int32),
@@ -91,6 +123,8 @@ def _pad_feature(x, d_store):
 
 
 def _quant_max(qdtype) -> float:
+    if isinstance(qdtype, str) and qdtype == "int4":
+        return 7.0
     if jnp.dtype(qdtype) == jnp.int8:
         return 127.0
     if jnp.dtype(qdtype) == jnp.dtype(jnp.float8_e4m3fn):
@@ -99,17 +133,45 @@ def _quant_max(qdtype) -> float:
 
 
 def _quantize_tokens(x, qdtype=jnp.int8):
-    """Per-token symmetric quantization to ``qdtype`` (int8 or fp8-e4m3):
-    x (..., t, d) -> (payload, f32 scales (..., t, 1))."""
+    """Per-token symmetric quantization to ``qdtype`` (int8, fp8-e4m3, or
+    "int4"): x (..., t, d) -> (payload, f32 scales (..., t, 1)).  int4
+    values come back *unpacked*, one int8 in [-7, 7] per token — pack
+    pairs with ``_pack_nibbles``."""
     qmax = _quant_max(qdtype)
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.where(amax == 0.0, 1.0, amax / qmax)
     scaled = x.astype(jnp.float32) / scale
-    if jnp.dtype(qdtype) == jnp.int8:
+    if isinstance(qdtype, str) and qdtype == "int4":
+        q = jnp.clip(jnp.round(scaled), -7, 7).astype(jnp.int8)
+    elif jnp.dtype(qdtype) == jnp.int8:
         q = jnp.clip(jnp.round(scaled), -127, 127).astype(jnp.int8)
     else:
         q = scaled.astype(qdtype)
     return q, scale
+
+
+def _pack_nibbles(q):
+    """Pack token pairs along the second-to-last axis: int8 values in
+    [-7, 7] of shape (..., t, d) -> int8 bytes (..., t//2, d), token 2r in
+    the low nibble of byte row r, token 2r+1 in the high nibble."""
+    lo = q[..., 0::2, :].astype(jnp.int32) & 0xF
+    hi = q[..., 1::2, :].astype(jnp.int32) & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def _pack_scales(sc):
+    """Per-token scales (..., t) -> (..., 2, t//2): sublane 0 = scales of
+    even-position tokens, sublane 1 = odd (matching ``_pack_nibbles``)."""
+    return jnp.stack([sc[..., 0::2], sc[..., 1::2]], axis=-2)
+
+
+def _unpack_nibbles(x):
+    """Sign-extend packed int4 bytes (Pallas-safe: shifts only).
+    (..., rows, d) int8 -> (even, odd) int32 pair, each (..., rows, d)."""
+    xi = x.astype(jnp.int32)
+    even = (xi << 28) >> 28
+    odd = (xi << 24) >> 28
+    return even, odd
 
 
 def append_token(cache: PagedKVCache, cfg: KVCacheConfig, slot, k_new, v_new) -> PagedKVCache:
@@ -125,8 +187,28 @@ def append_token(cache: PagedKVCache, cfg: KVCacheConfig, slot, k_new, v_new) ->
     logical_page = length // cfg.page_size
     offset = length % cfg.page_size
     page = cache.page_tables[slot, logical_page]
+    n_kv, d_store = cfg.n_kv_heads, cfg.head_dim_store
 
     def scatter(pages, scales, new):
+        if cfg.is_int4:
+            qv, sc = _quantize_tokens(new, cfg.quant_dtype)  # (n_kv, d), [-7,7]
+            byte_row = offset // 2
+            nib = offset % 2
+            old = jax.lax.dynamic_slice(
+                pages, (0, page, byte_row, 0), (n_kv, 1, 1, d_store)
+            ).astype(jnp.int32)
+            q32 = qv.astype(jnp.int32)[:, None, None, :] & 0xF
+            # RMW the byte: an even append owns the whole byte (its odd
+            # partner doesn't exist yet -> high nibble 0); an odd append
+            # preserves the even token in the low nibble
+            new_byte = jnp.where(nib == 0,
+                                 q32,
+                                 (old & 0xF) | (q32 << 4)).astype(jnp.int8)
+            pages = jax.lax.dynamic_update_slice(
+                pages, new_byte, (0, page, byte_row, 0))
+            scales = jax.lax.dynamic_update_slice(
+                scales, sc[:, None, None, :], (0, page, nib, byte_row))
+            return pages, scales
         if cfg.quantized:
             qv, sc = _quantize_tokens(new, cfg.quant_dtype)
             pages = jax.lax.dynamic_update_slice(
@@ -169,7 +251,13 @@ def write_prompt(cache: PagedKVCache, cfg: KVCacheConfig, slot: int,
 
     k_pages, v_pages = cache.k_pages, cache.v_pages
     k_scales, v_scales = cache.k_scales, cache.v_scales
-    if cfg.quantized:
+    if cfg.is_int4:
+        kq, ks = _quantize_tokens(kp, cfg.quant_dtype)
+        vq, vs = _quantize_tokens(vp, cfg.quant_dtype)
+        kq, vq = _pack_nibbles(kq), _pack_nibbles(vq)  # (n_kv, n_used, page/2, d)
+        ks = _pack_scales(ks[..., 0])                  # (n_kv, n_used, 2, page/2)
+        vs = _pack_scales(vs[..., 0])
+    elif cfg.quantized:
         kq, ks = _quantize_tokens(kp, cfg.quant_dtype)
         vq, vs = _quantize_tokens(vp, cfg.quant_dtype)
         ks = jnp.swapaxes(ks, 2, 3)  # -> token-minor (n_kv, n_used, 1, page)
@@ -207,8 +295,9 @@ def _chunk_write_kernel(tables_ref, meta_ref,
     kpo_ref[...] = kq_ref[...][:, None]
     vpo_ref[...] = vq_ref[...][:, None]
     if quantized:
-        kso_ref[...] = ksc_ref[...][:, None, None, :]
-        vso_ref[...] = vsc_ref[...][:, None, None, :]
+        # scale values are (n_kv, pack, rows) -> page block (n_kv,1,pack,rows)
+        kso_ref[...] = ksc_ref[...][:, None]
+        vso_ref[...] = vsc_ref[...][:, None]
 
 
 def _chunk_write_via_kernel(cache, cfg, slot, start, total, trash_page,
@@ -218,20 +307,26 @@ def _chunk_write_via_kernel(cache, cfg, slot, start, total, trash_page,
     Requires the engine's alignment invariant (chunks start at multiples
     of ``rows_block = min(chunk, page_size)``, which divides both chunk
     and page size), so each grid step fully overwrites one aligned
-    (rows_block, d) row-group of a page — no read-modify-write, no
-    scatter.  Row-groups past ``total`` are routed to the trash page;
+    (rows_block/pack, d) byte-row-group of a page — no read-modify-write,
+    no scatter.  Row-groups past ``total`` are routed to the trash page;
     padding rows inside the last live group land at positions beyond the
     sequence length, which nothing ever reads and later appends overwrite
-    row-by-row.
+    row-by-row (int4: nibble-by-nibble).
+
+    ``kq/vq``: packed payloads (n_kv, chunk/pack, d_store);
+    ``ksc/vsc``: scales (n_kv, pack, chunk/pack) (quantized only).
     """
-    n_kv, n_pages, page_size, d_store = cache.k_pages.shape
-    chunk = kq.shape[1]
-    rows_block = min(chunk, page_size)
+    n_kv, n_pages, page_rows, d_store = cache.k_pages.shape
+    pack = cfg.tok_pack
+    page_size = cfg.page_size
+    chunk = kq.shape[1] * pack
+    rows_block = min(chunk, page_size)       # tokens per grid step
+    brows = rows_block // pack               # byte rows per grid step
     n_blocks = chunk // rows_block
     max_pages = cache.page_tables.shape[1]
     quantized = cfg.quantized
     if not quantized:
-        ksc = jnp.zeros((n_kv, chunk), jnp.float32)
+        ksc = jnp.zeros((n_kv, 1, chunk), jnp.float32)
         vsc = ksc
         k_scales_in = jnp.zeros((n_kv, 1, 1, page_size), jnp.float32)
         v_scales_in = k_scales_in
@@ -256,24 +351,25 @@ def _chunk_write_via_kernel(cache, cfg, slot, start, total, trash_page,
         return (0, i, 0)
 
     def sc_val_idx(i, tables, meta):
-        return (0, i)
+        return (0, 0, i)
 
     meta = jnp.stack([
         jnp.asarray(slot, jnp.int32), jnp.asarray(start, jnp.int32),
         jnp.asarray(total, jnp.int32), jnp.asarray(trash_page, jnp.int32)])
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
-    page_block = pl.BlockSpec((n_kv, 1, rows_block, d_store), page_idx)
-    scales_block = pl.BlockSpec((n_kv, 1, 1, rows_block), scales_idx)
+    page_block = pl.BlockSpec((n_kv, 1, brows, d_store), page_idx)
+    scales_block = pl.BlockSpec((n_kv, 1, k_scales_in.shape[2], brows), scales_idx)
+    sc_val_block = pl.BlockSpec((n_kv, ksc.shape[1], brows), sc_val_idx)
     outs = pl.pallas_call(
         functools.partial(_chunk_write_kernel, quantized=quantized),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((n_kv, rows_block, d_store), val_idx),
-                pl.BlockSpec((n_kv, rows_block), sc_val_idx),
-                pl.BlockSpec((n_kv, rows_block, d_store), val_idx),
-                pl.BlockSpec((n_kv, rows_block), sc_val_idx),
+                pl.BlockSpec((n_kv, brows, d_store), val_idx),
+                sc_val_block,
+                pl.BlockSpec((n_kv, brows, d_store), val_idx),
+                sc_val_block,
                 any_spec, any_spec, any_spec, any_spec,
             ],
             out_specs=[page_block, scales_block, page_block, scales_block],
@@ -317,17 +413,24 @@ def write_tokens_at(cache: PagedKVCache, cfg: KVCacheConfig, slot, start,
         interpret = jax.default_backend() not in ("tpu",)
     chunk = k.shape[1]
     page = cfg.page_size
-    # full-page blocks need page rows divisible by the sublane width; sub-
-    # page blocks additionally block the lane-major scale row by chunk,
-    # which must then be lane-aligned
-    aligned = (chunk % page == 0 and page % 8 == 0) or (
-        page % chunk == 0 and chunk % 128 == 0)
+    pack = cfg.tok_pack
+    if pack == 2 and chunk % 2:
+        raise ValueError(f"int4 KV requires an even chunk, got {chunk}")
+    # full-page blocks need page byte-rows divisible by the sublane width;
+    # sub-page blocks additionally block the lane-major scale row by chunk
+    # byte-rows, which must then be lane-aligned
+    aligned = (chunk % page == 0 and (page // pack) % 8 == 0) or (
+        page % chunk == 0 and (chunk // pack) % 128 == 0)
     if not interpret and aligned:
         def quant(new):
             vals = _pad_feature(new, cfg.head_dim_store)  # (n_kv, chunk, d)
+            if cfg.is_int4:
+                qv, sc = _quantize_tokens(vals, cfg.quant_dtype)
+                # packed payload + (n_kv, 2, chunk/2) even/odd scales
+                return _pack_nibbles(qv), _pack_scales(sc[..., 0])
             if cfg.quantized:
                 qv, sc = _quantize_tokens(vals, cfg.quant_dtype)
-                return qv, sc[..., 0]                     # (n_kv, chunk)
+                return qv, sc[..., 0][:, None]            # (n_kv, 1, chunk)
             return vals.astype(cache.k_pages.dtype), None
 
         kq, ksc = quant(k)
@@ -341,6 +444,8 @@ def write_tokens_at(cache: PagedKVCache, cfg: KVCacheConfig, slot, start,
             k_scales=k_scales, v_scales=v_scales,
             lengths=cache.lengths.at[slot].set(total),
         )
+    if pack == 2 and jnp.ndim(start) == 0 and isinstance(start, int) and start % 2:
+        raise ValueError("int4 chunked writes must start at even positions")
     pos = jnp.asarray(start, jnp.int32) + jnp.arange(chunk, dtype=jnp.int32)
     valid = jnp.arange(chunk) < true_len
     logical = jnp.minimum(pos // cfg.page_size, cfg.max_pages_per_seq - 1)
@@ -350,6 +455,20 @@ def write_tokens_at(cache: PagedKVCache, cfg: KVCacheConfig, slot, start,
 
     def scatter(pages, scales, new):
         vals = _pad_feature(new, cfg.head_dim_store)      # (n_kv, chunk, d_store)
+        if cfg.is_int4:
+            # start is even (engine invariant), so the chunk covers whole
+            # byte rows; route a byte row to trash only if BOTH its tokens
+            # are padding (an odd true_len leaves a zero high nibble that
+            # later appends overwrite nibble-wise)
+            qv, sc = _quantize_tokens(vals, cfg.quant_dtype)
+            qb = _pack_nibbles(qv)                        # (n_kv, chunk/2, d)
+            scp = _pack_scales(sc[..., 0])                # (n_kv, 2, chunk/2)
+            phys_b = phys[0::2]
+            off_b = offset[0::2] // 2
+            pages = pages.at[:, phys_b, off_b, :].set(qb)
+            scales = scales.at[:, phys_b, 0, off_b].set(scp[:, 0])
+            scales = scales.at[:, phys_b, 1, off_b].set(scp[:, 1])
+            return pages, scales
         if cfg.quantized:
             qv, sc = _quantize_tokens(vals, cfg.quant_dtype)
             pages = pages.at[:, phys, offset, :].set(qv)
@@ -380,30 +499,51 @@ def _append_rmw_kernel(phys_ref, off_ref,
                        kq_ref, ksc_ref, vq_ref, vsc_ref,
                        kpi_ref, ksi_ref, vpi_ref, vsi_ref,
                        kpo_ref, kso_ref, vpo_ref, vso_ref,
-                       *, page_size: int, quantized: bool):
-    """In-place (aliased) read-modify-write of one token row per slot."""
+                       *, page_size: int, quantized: bool, pack: int):
+    """In-place (aliased) read-modify-write of one token row per slot.
+
+    pack == 2 (int4): the token RMWs a single *nibble* of its byte row —
+    an even token owns the whole byte (its odd partner doesn't exist yet),
+    an odd token preserves the even token in the low nibble.
+    """
     s = pl.program_id(0)
     off = off_ref[s]
+    page_rows = page_size // pack
+    brow = off // pack
     row_sel = jax.lax.broadcasted_iota(
-        jnp.int32, (1, 1, page_size, 1), 2) == off
-    kpo_ref[...] = jnp.where(row_sel, kq_ref[0][:, None, None, :], kpi_ref[...])
-    vpo_ref[...] = jnp.where(row_sel, vq_ref[0][:, None, None, :], vpi_ref[...])
+        jnp.int32, (1, 1, page_rows, 1), 2) == brow
+
+    def blend(new_tok, old_pages):
+        new = new_tok[:, None, None, :]
+        if pack == 1:
+            return jnp.where(row_sel, new, old_pages)
+        old32 = old_pages.astype(jnp.int32)
+        q32 = new.astype(jnp.int32) & 0xF
+        byte = jnp.where(off % 2 == 0, q32, (old32 & 0xF) | (q32 << 4))
+        return jnp.where(row_sel, byte, old32).astype(jnp.int8)
+
+    kpo_ref[...] = blend(kq_ref[0], kpi_ref[...])
+    vpo_ref[...] = blend(vq_ref[0], vpi_ref[...])
     if quantized:
         n_kv = ksi_ref.shape[0]
         lane_sel = jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, 1, page_size), 3) == off
+            jnp.int32, (1, 1, 1, page_rows), 3) == brow
+        if pack == 2:
+            sub_sel = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, pack, 1), 2) == off % 2
+            lane_sel = jnp.logical_and(lane_sel, sub_sel)
         # scales come in transposed (n_kv, S): extract lane s by masked
         # reduction (dynamic lane slices / lane->sublane reshapes do not
         # lower on Mosaic), keeping the value sublane-major so it
-        # broadcasts cleanly to the (n_kv, 1, 1, page) scale row
+        # broadcasts cleanly to the (n_kv, 1, pack, page_rows) scale block
         slot_sel = jax.lax.broadcasted_iota(
             jnp.int32, ksc_ref.shape, 1) == s
         ks_col = jnp.sum(jnp.where(slot_sel, ksc_ref[...], 0.0),
                          axis=1, keepdims=True)            # (n_kv, 1)
         vs_col = jnp.sum(jnp.where(slot_sel, vsc_ref[...], 0.0),
                          axis=1, keepdims=True)
-        ksb = jax.lax.broadcast_in_dim(ks_col, (n_kv, 1, 1, page_size), (0, 3))
-        vsb = jax.lax.broadcast_in_dim(vs_col, (n_kv, 1, 1, page_size), (0, 3))
+        ksb = jax.lax.broadcast_in_dim(ks_col, (n_kv, 1, 1, page_rows), (0, 3))
+        vsb = jax.lax.broadcast_in_dim(vs_col, (n_kv, 1, 1, page_rows), (0, 3))
         kso_ref[...] = jnp.where(lane_sel, ksb, ksi_ref[...])
         vso_ref[...] = jnp.where(lane_sel, vsb, vsi_ref[...])
 
@@ -419,12 +559,13 @@ def _append_via_kernel(cache, cfg, phys, offset, kq, ksc, vq, vsc):
     trash page can repeat, and its contents are garbage by design.
     """
     S = phys.shape[0]
-    n_kv, n_pages, page_size, d_store = cache.k_pages.shape
+    n_kv, n_pages, page_rows, d_store = cache.k_pages.shape
+    pack = cfg.tok_pack
     quantized = cfg.quantized
     if not quantized:
         ksc = jnp.zeros((n_kv, S), jnp.float32)
         vsc = ksc
-        k_scales_in = jnp.zeros((n_kv, 1, 1, page_size), jnp.float32)
+        k_scales_in = jnp.zeros((n_kv, 1, 1, cfg.page_size), jnp.float32)
         v_scales_in = k_scales_in
     else:
         k_scales_in, v_scales_in = cache.k_scales, cache.v_scales
@@ -445,11 +586,12 @@ def _append_via_kernel(cache, cfg, phys, offset, kq, ksc, vq, vsc):
             return (0, phys[s], 0, 0)
         return (0, 0, 0, 0)
 
-    page_block = pl.BlockSpec((n_kv, 1, page_size, d_store), page_idx)
-    scales_block = pl.BlockSpec((n_kv, 1, 1, page_size), scales_idx)
+    page_block = pl.BlockSpec((n_kv, 1, page_rows, d_store), page_idx)
+    scales_block = pl.BlockSpec((n_kv, 1, k_scales_in.shape[2], k_scales_in.shape[3]),
+                                scales_idx)
     outs = pl.pallas_call(
-        functools.partial(_append_rmw_kernel, page_size=page_size,
-                          quantized=quantized),
+        functools.partial(_append_rmw_kernel, page_size=cfg.page_size,
+                          quantized=quantized, pack=pack),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(S,),
@@ -526,6 +668,18 @@ def append_tokens_batched(cache: PagedKVCache, cfg: KVCacheConfig,
     def scatter(pages, scales, new):
         # new: (max_seqs, n_kv_heads, d) -> write at [:, phys[s], offset[s], :]
         vals = jnp.swapaxes(_pad_feature(new, cfg.head_dim_store), 0, 1)
+        if cfg.is_int4:
+            qv, sc = _quantize_tokens(vals, cfg.quant_dtype)   # (n_kv, S, d)
+            brow = offset // 2
+            nib = offset % 2
+            old = pages[:, phys, brow, :].astype(jnp.int32)    # (n_kv, S, d)
+            q32 = qv.astype(jnp.int32) & 0xF
+            # even append owns the byte; odd append keeps the low nibble
+            byte = jnp.where(nib[None, :, None] == 0,
+                             q32, (old & 0xF) | (q32 << 4)).astype(jnp.int8)
+            pages = pages.at[:, phys, brow, :].set(byte)
+            scales = scales.at[:, phys, nib, brow].set(sc[..., 0])
+            return pages, scales
         if cfg.quantized:
             qv, sc = _quantize_tokens(vals, cfg.quant_dtype)
             pages = pages.at[:, phys, offset, :].set(qv)
@@ -542,6 +696,43 @@ def append_tokens_batched(cache: PagedKVCache, cfg: KVCacheConfig,
         k_scales=k_scales, v_scales=v_scales,
         lengths=cache.lengths + active.astype(jnp.int32),
     )
+
+
+def gather_sequence_kv(cache: PagedKVCache, cfg: KVCacheConfig, slot: int,
+                       length: Optional[int] = None):
+    """Host-side: gather and dequantize one sequence's K/V from its pages.
+
+    Returns ``(k, v)`` float32 of shape (n_kv_heads, length, head_dim) —
+    exactly the values the decode/prefill kernels reconstruct, so kernel
+    outputs can be checked against a dense oracle on these with tight
+    tolerances (quantization error cancels out).  Test/debug utility.
+    """
+    table = np.asarray(cache.page_tables)[slot]
+    L = int(cache.lengths[slot]) if length is None else int(length)
+    n_used = -(-L // cfg.page_size)
+    kp = np.asarray(cache.k_pages)
+    vp = np.asarray(cache.v_pages)
+    ksc = np.asarray(cache.k_scales) if cfg.quantized else None
+    vsc = np.asarray(cache.v_scales) if cfg.quantized else None
+
+    def page_tokens(pages, scales, p):
+        if cfg.is_int4:
+            b = pages[:, p].astype(np.int32)          # (n_kv, page/2, d)
+            even = ((b << 28) >> 28).astype(np.float32)
+            odd = ((b << 24) >> 28).astype(np.float32)
+            out = np.empty((b.shape[0], b.shape[1] * 2, b.shape[2]), np.float32)
+            out[:, 0::2] = even * scales[:, p, 0][:, :, None]
+            out[:, 1::2] = odd * scales[:, p, 1][:, :, None]
+            return out
+        if cfg.quantized:
+            return pages[:, p].astype(np.float32) * scales[:, p, 0][:, :, None]
+        return pages[:, p].astype(np.float32)
+
+    ks = [page_tokens(kp, ksc, int(table[i])) for i in range(n_used)]
+    vs = [page_tokens(vp, vsc, int(table[i])) for i in range(n_used)]
+    k = np.concatenate(ks, axis=1)[:, :L, :cfg.head_dim]
+    v = np.concatenate(vs, axis=1)[:, :L, :cfg.head_dim]
+    return k, v
 
 
 class PageAllocator:

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..block_sizes import LANE, VMEM_LIMIT, pad_to
 from ..ops.kernel_common import LOG2E, NEG_INF_F32
-from .kv_cache import KVCacheConfig, PagedKVCache
+from .kv_cache import KVCacheConfig, PagedKVCache, _unpack_nibbles
 
 __all__ = ["paged_prefill_attention"]
 
@@ -55,9 +55,11 @@ def _prefill_kernel(
     page_size: int,
     max_pages: int,
     quantized: bool,
+    pack: int = 1,
 ):
     # meta = [slot, live_page_count, total_len, start]
     p = pl.program_id(0)
+    page_rows = page_size // pack
 
     @pl.when(p == 0)
     def _init():
@@ -71,40 +73,60 @@ def _prefill_kernel(
         start = meta_ref[3]
 
         q = q_ref[0]                               # (n_kv, g*chunk, d)
-        k = k_ref[:, 0]                            # (n_kv, page, d)
+        k = k_ref[:, 0]                            # (n_kv, page_rows, d)
         v = v_ref[:, 0]
-        if quantized:
-            k = k.astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16)
+        if pack == 2:
+            # int4: even/odd token halves of the nibble-packed page
+            ke, ko = _unpack_nibbles(k)
+            ve, vo = _unpack_nibbles(v)
+            halves = ((ke.astype(jnp.bfloat16), ve.astype(jnp.bfloat16), 0),
+                      (ko.astype(jnp.bfloat16), vo.astype(jnp.bfloat16), 1))
+        else:
+            if quantized:
+                k = k.astype(jnp.bfloat16)
+                v = v.astype(jnp.bfloat16)
+            halves = ((k, v, 0),)
+
         # scale*LOG2E is pre-folded into q by the wrapper (as in the
         # training kernels' Q prescale), so s is ready for exp2
-        s = jax.lax.dot_general(
-            q.astype(k.dtype), k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                          # (n_kv, g*chunk, page)
-        if quantized:
-            s = s * ks_ref[:, 0]
+        parts = []
+        for kh, vh, nib in halves:
+            s = jax.lax.dot_general(
+                q.astype(kh.dtype), kh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                      # (n_kv, g*chunk, page_rows)
+            if quantized:
+                s = s * ks_ref[:, 0, nib][:, None, :]
+            parts.append([s, vh, nib])
 
-        def update(s):
+        def update(parts):
             m_prev = m_scratch[:, :, :1]
             l_prev = l_scratch[:, :, :1]
-            m_curr = jnp.max(s, axis=2, keepdims=True)
+            m_curr = parts[0][0].max(axis=2, keepdims=True)
+            for s, _, _ in parts[1:]:
+                m_curr = jnp.maximum(m_curr, s.max(axis=2, keepdims=True))
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp2(m_prev - m_next)
             # masked entries hold the finite NEG_INF approx; exp2 of the
             # huge negative difference is exactly 0, and page 0 (processed
             # first) always holds a live key for every row, so m_next is
             # real from the first step on — no extra select needed
-            pw = jnp.exp2(s - m_next)
-            l_next = alpha * l_prev + jnp.sum(pw, axis=2, keepdims=True)
+            pv = None
+            l_add = None
+            for s, vh, nib in parts:
+                pw = jnp.exp2(s - m_next)
+                ps = jnp.sum(pw, axis=2, keepdims=True)
+                l_add = ps if l_add is None else l_add + ps
+                if quantized:
+                    pw = pw * vs_ref[:, 0, nib][:, None, :]
+                contrib = jax.lax.dot_general(
+                    pw.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )                                  # (n_kv, g*chunk, d)
+                pv = contrib if pv is None else pv + contrib
+            l_next = alpha * l_prev + l_add
             m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
             l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
-            if quantized:
-                pw = pw * vs_ref[:, 0]
-            pv = jax.lax.dot_general(
-                pw.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )                                      # (n_kv, g*chunk, d)
             acc_ref[...] = acc_ref[...] * alpha + pv
 
         # interior pages (every key strictly before the chunk's first row,
@@ -115,18 +137,21 @@ def _prefill_kernel(
 
         @pl.when(interior)
         def _interior():
-            update(s)
+            update(parts)
 
         @pl.when(jnp.logical_not(interior))
         def _edge():
-            kv_pos = p * page_size + jax.lax.broadcasted_iota(
-                jnp.int32, (1, 1, page_size), 2)
             # row r of the (g*chunk)-row query block is chunk-minor: its
             # token sits at absolute position start + (r mod chunk)
             q_pos = start + jax.lax.broadcasted_iota(
                 jnp.int32, (1, q_ref.shape[2], 1), 1) % chunk
-            mask = (kv_pos < total) & (kv_pos <= q_pos)
-            update(jnp.where(mask, s, NEG_INF_F32))
+            masked = []
+            for s, vh, nib in parts:
+                kv_pos = (p * page_size + nib) + pack * jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, page_rows), 2)
+                mask = (kv_pos < total) & (kv_pos <= q_pos)
+                masked.append([jnp.where(mask, s, NEG_INF_F32), vh, nib])
+            update(masked)
 
     @pl.when(p == max_pages - 1)
     def _finalize():
@@ -186,6 +211,8 @@ def paged_prefill_attention(
 
     max_pages = cfg.max_pages_per_seq
     quantized = cfg.quantized
+    pack = cfg.tok_pack
+    page_rows = cfg.page_rows
 
     def page_idx(p, t, m):
         lp = jnp.maximum(0, jnp.minimum(p, m[1] - 1))
@@ -201,12 +228,13 @@ def paged_prefill_attention(
         page_size=cfg.page_size,
         max_pages=max_pages,
         quantized=quantized,
+        pack=pack,
     )
 
     k_scales = cache.k_scales
     v_scales = cache.v_scales
     if not quantized:
-        k_scales = jnp.ones((n_kv, 1, 1, cfg.page_size), jnp.float32)
+        k_scales = jnp.ones((n_kv, 1, 1, page_rows), jnp.float32)
         v_scales = k_scales
 
     def scales_idx(p, t, m):
@@ -214,6 +242,7 @@ def paged_prefill_attention(
             return page_idx(p, t, m)
         return (0, 0, 0, 0)
 
+    sc_rows = k_scales.shape[2]
     rows = g * chunk
     o = pl.pallas_call(
         kernel,
@@ -222,10 +251,10 @@ def paged_prefill_attention(
             grid=(max_pages,),
             in_specs=[
                 pl.BlockSpec((1, n_kv, rows, d_pad), q_idx),
-                pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
-                pl.BlockSpec((n_kv, 1, 1, cfg.page_size), scales_idx),
-                pl.BlockSpec((n_kv, 1, cfg.page_size, d_pad), page_idx),
-                pl.BlockSpec((n_kv, 1, 1, cfg.page_size), scales_idx),
+                pl.BlockSpec((n_kv, 1, page_rows, d_pad), page_idx),
+                pl.BlockSpec((n_kv, 1, sc_rows, page_rows), scales_idx),
+                pl.BlockSpec((n_kv, 1, page_rows, d_pad), page_idx),
+                pl.BlockSpec((n_kv, 1, sc_rows, page_rows), scales_idx),
             ],
             out_specs=[pl.BlockSpec((1, n_kv, rows, d_pad), q_idx)],
             scratch_shapes=[

@@ -13,7 +13,7 @@ dominated and meaningless here):
     prefill attention against the growing cache)  ->  prefill tokens/s/chip.
 
 Usage: python tools/engine_bench.py  (env: EB_SEQS, EB_CTX, EB_CHUNK,
-EB_LAYERS, EB_DMODEL)
+EB_LAYERS, EB_DMODEL, EB_KVQ = int8|int4|fp8|none)
 """
 
 import os
@@ -36,20 +36,24 @@ def main():
     chunk = int(os.environ.get("EB_CHUNK", 512))
     n_layers = int(os.environ.get("EB_LAYERS", 8))
     d_model = int(os.environ.get("EB_DMODEL", 1024))
+    kvq = os.environ.get("EB_KVQ", "int8")
     page = 256
     mcfg = ModelConfig(
         vocab=32768, d_model=d_model, n_layers=n_layers, n_heads=8,
         n_kv_heads=8, d_head=128, d_ff=4 * d_model, max_seq=2 * ctx,
         dtype=jnp.bfloat16)
+    kvq_dtype = {"int8": jnp.int8, "int4": "int4",
+                 "fp8": jnp.float8_e4m3fn}.get(kvq)
     ecfg = EngineConfig(
         max_seqs=max_seqs, page_size=page,
         n_pages=max_seqs * (ctx // page) + max_seqs + 1,
-        max_pages_per_seq=2 * ctx // page, quantized_kv=True,
+        max_pages_per_seq=2 * ctx // page, quantized_kv=kvq != "none",
+        kv_quant_dtype=kvq_dtype if kvq_dtype is not None else jnp.int8,
         prefill_mode="chunked", prefill_chunk=chunk)
     params = init_params(mcfg, jax.random.PRNGKey(0))
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     print(f"model: {n_params/1e6:.0f}M params, {n_layers}L x {d_model}d, "
-          f"B={max_seqs}, ctx={ctx}, page={page}, int8 KV", file=sys.stderr)
+          f"B={max_seqs}, ctx={ctx}, page={page}, {kvq} KV", file=sys.stderr)
 
     eng = DecodeEngine(mcfg, params, ecfg, interpret=False)
     rng = np.random.default_rng(0)
@@ -129,7 +133,7 @@ def main():
         "decode_step_ms": round(t_dec * 1e3, 3),
         "prefill_chunk_ms": round(t_pre * 1e3, 3),
         "params_m": round(n_params / 1e6),
-        "batch": max_seqs, "ctx": ctx, "chunk": chunk,
+        "batch": max_seqs, "ctx": ctx, "chunk": chunk, "kv": kvq,
     }))
 
 

@@ -1,4 +1,4 @@
-"""Paged decode attention kernel (q_len = 1, INT8/FP8 KV, GQA).
+"""Paged decode attention kernel (q_len = 1, INT8/FP8/INT4 KV, GQA).
 
 The serving-path kernel from the BASELINE north star: one new query token
 per sequence attends to its paged (optionally quantized) KV cache.  Design
@@ -27,6 +27,16 @@ points:
   token-major (one-lane-wide DMAs), each measured ~4x slower end-to-end;
 * GQA: queries are grouped per KV head, one ``(group, d) @ (d, page)``
   matmul per head per page.
+
+* INT4 KV (nibble-packed int8 bytes, two tokens per byte row) halves the
+  page bytes again; the kernel sign-extends the nibbles with int32 shifts
+  and attends to the even/odd token halves as two half-page key sets under
+  one online softmax.  The unpack is VPU work proportional to the bytes
+  streamed, so it only wins once per-step fixed costs are amortised:
+  **use page_size >= 512 with int4** (measured on v5e at B=16, ctx=8k:
+  page 256 int4 is ~20% slower than int8; page 1024 int4 is ~18% faster
+  than page-1024 int8 and ~2.6x the page-256 engine baseline, plus 2x KV
+  capacity; see tools/exp_int4_unpack.py for the variants measured).
 
 Sequence lengths are runtime values (continuous batching), so skipping is
 driven by prefetched per-slot page counts rather than the trace-time

@@ -37,7 +37,7 @@ def main():
     n_layers = int(os.environ.get("EB_LAYERS", 8))
     d_model = int(os.environ.get("EB_DMODEL", 1024))
     kvq = os.environ.get("EB_KVQ", "int8")
-    page = 256
+    page = int(os.environ.get("EB_PAGE", 256))
     mcfg = ModelConfig(
         vocab=32768, d_model=d_model, n_layers=n_layers, n_heads=8,
         n_kv_heads=8, d_head=128, d_ff=4 * d_model, max_seq=2 * ctx,
@@ -133,7 +133,7 @@ def main():
         "decode_step_ms": round(t_dec * 1e3, 3),
         "prefill_chunk_ms": round(t_pre * 1e3, 3),
         "params_m": round(n_params / 1e6),
-        "batch": max_seqs, "ctx": ctx, "chunk": chunk, "kv": kvq,
+        "batch": max_seqs, "ctx": ctx, "chunk": chunk, "kv": kvq, "page": page,
     }))
 
 

@@ -638,3 +638,154 @@ def test_engine_int4_kv_runs_greedy():
         assert len(results[rid]) == len(prompt) + 6
         assert results[rid] == results2[rid2]
         assert all(0 <= t < MCFG.vocab for t in results[rid])
+
+
+# ---- rule-based masking in the paged serving kernels ----
+
+def _local_visible(q_pos, kv_pos, w, s=0):
+    diff = q_pos - kv_pos
+    ok = (kv_pos <= q_pos) & ((diff >> s) < w)
+    if s:
+        ok &= (diff & ((1 << s) - 1)) == 0
+    return ok
+
+
+def _masked_oracle(k, v, q, q_pos, w, s=0):
+    """Dense oracle with the LocalRule mask; q (n_q, d) at position q_pos."""
+    n_kv, t, d = k.shape
+    g = q.shape[0] // n_kv
+    qg = np.asarray(q).reshape(n_kv, g, d)
+    sc = np.einsum("hgd,htd->hgt", qg, np.asarray(k)) / np.sqrt(d)
+    vis = _local_visible(q_pos, np.arange(t), w, s)
+    sc = np.where(vis[None, None, :], sc, -1e30)
+    p = np.exp(sc - sc.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("hgt,htd->hgd", p, np.asarray(v)).reshape(-1, d)
+
+
+@pytest.mark.parametrize("w,s", [(16, 0), (8, 2), (4, 7)])
+def test_local_rule_paged_decode(w, s):
+    """LocalRule decode vs masked dense oracle.  (4, 7) has stride 128 >
+    page_size, so whole processed pages hold no visible key — exercises
+    the live-row guard; all cases exercise first-live-page skipping."""
+    from tf_flash_attention_tpu.mask_rules import LocalRule
+
+    rng = np.random.default_rng(31)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=64, n_pages=16,
+                        max_seqs=2, max_pages_per_seq=8, quantized=False,
+                        dtype=jnp.float32)
+    cache = PagedKVCache.create(cfg)
+    alloc = PageAllocator(cfg.n_pages - 1)
+    t = 500
+    k = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    cache = write_prompt(cache, cfg, 0, np.array(alloc.alloc(0, 8)), k, v)
+    q = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32)), jnp.float32)
+    rule = LocalRule(window_size=w, log2_stride_size=s, is_causal=True)
+    o = paged_decode_attention(q, cache, cfg, rule=rule)
+    ref = _masked_oracle(k, v, np.asarray(q[0]), t - 1, w, s)
+    np.testing.assert_allclose(np.asarray(o[0]), ref, rtol=3e-5, atol=3e-5)
+    np.testing.assert_array_equal(np.asarray(o[1]), 0.0)
+    # causal rule (the default) unchanged by the new plumbing
+    o_causal = paged_decode_attention(q, cache, cfg)
+    ref_causal = _dense_oracle_from(np.asarray(k), np.asarray(v),
+                                    np.asarray(q[0]))
+    np.testing.assert_allclose(np.asarray(o_causal[0]), ref_causal,
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_local_rule_multitoken_decode():
+    from tf_flash_attention_tpu.mask_rules import LocalRule
+    from tf_flash_attention_tpu.serving.decode import paged_multitoken_decode
+
+    rng = np.random.default_rng(32)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=64, n_pages=16,
+                        max_seqs=2, max_pages_per_seq=8, quantized=False,
+                        dtype=jnp.float32)
+    cache = PagedKVCache.create(cfg)
+    alloc = PageAllocator(cfg.n_pages - 1)
+    base, gamma, w = 300, 3, 24
+    total = base + gamma
+    k = jnp.asarray(rng.uniform(-1, 1, (2, total, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, total, 32)), jnp.float32)
+    cache = write_prompt(cache, cfg, 0, np.array(alloc.alloc(0, 5)), k, v)
+    q = jnp.asarray(rng.uniform(-1, 1, (2, gamma, 4, 32)), jnp.float32)
+    rule = LocalRule(window_size=w, is_causal=True)
+    o = paged_multitoken_decode(q, cache, cfg, rule=rule)
+    for i in range(gamma):
+        q_pos = base + i
+        ref = _masked_oracle(k[:, :q_pos + 1], v[:, :q_pos + 1],
+                             np.asarray(q[0, i]), q_pos, w)
+        np.testing.assert_allclose(np.asarray(o[0, i]), ref,
+                                   rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("w,s", [(32, 0), (8, 2)])
+def test_local_rule_paged_prefill(w, s):
+    from tf_flash_attention_tpu.mask_rules import LocalRule
+    from tf_flash_attention_tpu.serving.kv_cache import write_tokens_at
+    from tf_flash_attention_tpu.serving.prefill import paged_prefill_attention
+
+    rng = np.random.default_rng(33)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=64, n_pages=16,
+                        max_seqs=2, max_pages_per_seq=8, quantized=False,
+                        dtype=jnp.float32)
+    cache = PagedKVCache.create(cfg)
+    alloc = PageAllocator(cfg.n_pages - 1)
+    start, chunk, true = 300, 48, 40
+    k_hist = jnp.asarray(rng.uniform(-1, 1, (2, start, 32)), jnp.float32)
+    v_hist = jnp.asarray(rng.uniform(-1, 1, (2, start, 32)), jnp.float32)
+    cache = write_prompt(cache, cfg, 0, np.array(alloc.alloc(0, 6)),
+                         k_hist, v_hist)
+    k_new = jnp.asarray(rng.uniform(-1, 1, (2, chunk, 32)), jnp.float32)
+    v_new = jnp.asarray(rng.uniform(-1, 1, (2, chunk, 32)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-1, 1, (chunk, 4, 32)), jnp.float32)
+    cache = write_tokens_at(cache, cfg, 0, start, k_new, v_new, true,
+                            trash_page=cfg.n_pages - 1)
+    rule = LocalRule(window_size=w, log2_stride_size=s, is_causal=True)
+    o = paged_prefill_attention(q, cache, cfg, 0, start, true, rule=rule)
+    k_all = np.concatenate([np.asarray(k_hist), np.asarray(k_new[:, :true])], 1)
+    v_all = np.concatenate([np.asarray(v_hist), np.asarray(v_new[:, :true])], 1)
+    for i in (0, 17, true - 1):
+        ref = _masked_oracle(k_all[:, :start + i + 1], v_all[:, :start + i + 1],
+                             np.asarray(q[i]), start + i, w, s)
+        np.testing.assert_allclose(np.asarray(o[i]), ref,
+                                   rtol=3e-5, atol=3e-5, err_msg=f"row {i}")
+
+
+def test_engine_sliding_window_matches_dense_greedy():
+    """A sliding-window model (ModelConfig.rule = LocalRule) served through
+    the engine produces exactly the dense-forward greedy tokens — the rule
+    flows through chunked prefill, decode, and speculation."""
+    from tf_flash_attention_tpu.mask_rules import LocalRule
+
+    mcfg = dataclasses.replace(
+        MCFG, rule=LocalRule(window_size=8, is_causal=True))
+    params = init_params(mcfg, jax.random.PRNGKey(0))
+
+    def greedy_dense_w(prompt, n_new):
+        toks = list(prompt)
+        for _ in range(n_new):
+            logits = forward(mcfg, params, jnp.asarray([toks], jnp.int32))
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        return toks
+
+    ecfg = EngineConfig(max_seqs=2, page_size=8, n_pages=64,
+                        max_pages_per_seq=8, quantized_kv=False,
+                        prefill_mode="chunked", prefill_chunk=8,
+                        prefix_caching=False)
+    eng = DecodeEngine(mcfg, params, ecfg)
+    prompts = [[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12], [7, 8, 9]]
+    rids = [eng.submit(p, max_new_tokens=8) for p in prompts]
+    results = eng.run(max_steps=60)
+    for rid, prompt in zip(rids, prompts):
+        want = greedy_dense_w(prompt, 8)
+        assert results[rid] == want, (results[rid], want)
+
+    # speculative + sliding window
+    eng2 = DecodeEngine(mcfg, params,
+                        dataclasses.replace(ecfg, speculative_tokens=2))
+    prompt = [5, 9, 5, 9, 5, 9, 5, 9, 5]
+    rid = eng2.submit(prompt, max_new_tokens=8)
+    res = eng2.run(max_steps=40)
+    assert res[rid] == greedy_dense_w(prompt, 8)

@@ -38,6 +38,16 @@ points:
   than page-1024 int8 and ~2.6x the page-256 engine baseline, plus 2x KV
   capacity; see tools/exp_int4_unpack.py for the variants measured).
 
+* rule-based masking in the paged layout (the reference's policy engine
+  carried into serving): ``rule`` may be a ``LocalRule(window_size,
+  log2_stride_size, is_causal)`` — pages entirely below the oldest query
+  row's strided window are **skipped before any load** (a per-slot
+  first-live-page scalar shifts the page stream, the serving analog of the
+  training kernels' skip-before-load schedule), and the window/stride
+  predicate is applied per element in-kernel.  Decode always enforces
+  left-to-right causal ordering on top of the rule (tokens to the right of
+  a query row do not exist for an autoregressive step).
+
 Sequence lengths are runtime values (continuous batching), so skipping is
 driven by prefetched per-slot page counts rather than the trace-time
 schedule the training kernels use.
@@ -55,14 +65,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..block_sizes import LANE, VMEM_LIMIT, pad_to
+from ..mask_rules import CausalRule, FullRule, LocalRule, MaskRule
 from ..ops.kernel_common import LOG2E, NEG_INF_F32
 from .kv_cache import KVCacheConfig, PagedKVCache, _unpack_nibbles
+
+
+def _rule_visible(rule, q_pos, kv_pos):
+    """Element predicate: may kv_pos feed the query row at q_pos?
+
+    Left-to-right ordering (kv_pos <= q_pos) is always enforced — at a
+    decode step the tokens to the right of a row do not exist yet — and a
+    ``LocalRule`` adds its strided-window constraint on the distance
+    (``mask_rules.LocalRule.check`` semantics on 1d token positions).
+    """
+    ok = kv_pos <= q_pos
+    if isinstance(rule, LocalRule):
+        diff = q_pos - kv_pos
+        ok = jnp.logical_and(ok, (diff >> rule.log2_stride_size) < rule.window_size)
+        if rule.log2_stride_size:
+            ok = jnp.logical_and(ok, (diff & rule.remainder_mask) == 0)
+    return ok
+
+
+def _first_live_page(rule, lengths, gamma, page_size):
+    """Per-slot index of the first page the rule can see (skip-before-load).
+
+    The oldest query row sits at position ``length - gamma``; a LocalRule
+    cannot see kv below ``oldest - (strided_window - 1)``.
+    """
+    if isinstance(rule, LocalRule):
+        lo = jnp.maximum(0, lengths - gamma - (rule.strided_window_size - 1))
+        return (lo // page_size).astype(jnp.int32)
+    return jnp.zeros_like(lengths, jnp.int32)
 
 __all__ = ["paged_decode_attention", "paged_multitoken_decode"]
 
 
 def _decode_kernel(
-    tables_ref, counts_ref, lengths_ref,          # scalar prefetch
+    tables_ref, starts_ref, counts_ref, lengths_ref,   # scalar prefetch
     q_ref, k_ref, ks_ref, v_ref, vs_ref,          # inputs
     o_ref,                                        # output
     acc_ref, m_scratch, l_scratch,                # scratch (n_kv, g_pad, ...)
@@ -74,6 +114,7 @@ def _decode_kernel(
     quantized: bool,
     pack: int = 1,
     gamma: int = 1,
+    rule: MaskRule = CausalRule(),
 ):
     b = pl.program_id(0)
     p = pl.program_id(1)
@@ -85,17 +126,21 @@ def _decode_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(p < counts_ref[b])
+    # the page stream starts at the rule's first live page (skip-before-load)
+    lp = starts_ref[b] + p
+
+    @pl.when(p < counts_ref[b] - starts_ref[b])
     def _compute():
         def bounds_for(token_pos):
             if gamma == 1:
-                return token_pos < lengths_ref[b]
+                return _rule_visible(rule, lengths_ref[b] - 1, token_pos)
             # speculative multi-token decode: row r holds draft position
             # r mod gamma at absolute position lengths - gamma + (r mod
-            # gamma); it attends causally up to and including itself
+            # gamma); it attends (rule-constrained) up to and incl. itself
             row_mod = jax.lax.broadcasted_iota(
                 jnp.int32, (1, q_ref.shape[2], 1), 1) % gamma
-            return token_pos < (lengths_ref[b] - (gamma - 1) + row_mod)
+            q_pos = lengths_ref[b] - gamma + row_mod
+            return _rule_visible(rule, q_pos, token_pos)
 
         # all heads at once via head-batched dot_generals: one op stream per
         # page regardless of head count (decode is per-step-overhead bound)
@@ -126,7 +171,7 @@ def _decode_kernel(
                 s = s * (ks_ref[:, 0, nib][:, None, :] * jnp.float32(scale * LOG2E))
             else:
                 s = s * jnp.float32(scale * LOG2E)
-            token_pos = (p * page_size + nib) + pack * jax.lax.broadcasted_iota(
+            token_pos = (lp * page_size + nib) + pack * jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, page_rows), 2)
             s = jnp.where(bounds_for(token_pos), s, NEG_INF_F32)
             parts.append((s, vh, nib))
@@ -138,10 +183,15 @@ def _decode_kernel(
             m_curr = jnp.maximum(m_curr, s.max(axis=2, keepdims=True))
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
+        # a row with no visible key yet has m_next == NEG_INF, making
+        # exp2(s - m_next) == 1 on its masked entries; zero those rows
+        # (LocalRule page-skipping can defer a row's first live key past
+        # the first processed page — causal rows always see key 0)
+        row_live = m_next > jnp.float32(NEG_INF_F32 * 0.5)
         pv = None
         l_add = None
         for s, vh, nib in parts:
-            pw = jnp.exp2(s - m_next)
+            pw = jnp.where(row_live, jnp.exp2(s - m_next), 0.0)
             ps = jnp.sum(pw, axis=2, keepdims=True)
             l_add = ps if l_add is None else l_add + ps
             if quantized:
@@ -170,12 +220,18 @@ def paged_decode_attention(
     cfg: KVCacheConfig,
     *,
     scale: Optional[float] = None,
+    rule: MaskRule = CausalRule(),
     interpret: Optional[bool] = None,
 ):
     """One decode step of attention against the paged cache.
 
     ``q``: (max_seqs, n_q_heads, head_dim) — the current token's queries.
     Returns ``o`` of the same shape.  Sequences with length 0 yield zeros.
+
+    ``rule``: masking rule (Full/Causal behave identically at decode —
+    left-to-right ordering is always enforced; ``LocalRule`` restricts
+    each query to its strided window and pages below the window are never
+    loaded).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
@@ -194,16 +250,17 @@ def paged_decode_attention(
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - g), (0, d_pad - d)))
 
     counts = -(-cache.lengths // cfg.page_size)
+    starts = _first_live_page(rule, cache.lengths, 1, cfg.page_size)
     max_pages = cfg.max_pages_per_seq
     quantized = cfg.quantized
     pack = cfg.tok_pack
     page_rows = cfg.page_rows
 
-    def page_idx(b, p, t, c, L):
-        lp = jnp.maximum(0, jnp.minimum(p, c[b] - 1))
+    def page_idx(b, p, t, s, c, L):
+        lp = jnp.maximum(0, jnp.minimum(s[b] + p, c[b] - 1))
         return (0, t[b, lp], 0, 0)
 
-    def q_idx(b, p, t, c, L):
+    def q_idx(b, p, t, s, c, L):
         return (b, 0, 0, 0)
 
     kernel = functools.partial(
@@ -214,6 +271,7 @@ def paged_decode_attention(
         scale=float(scale),
         quantized=quantized,
         pack=pack,
+        rule=rule,
     )
 
     k_scales = cache.k_scales
@@ -223,16 +281,16 @@ def paged_decode_attention(
         k_scales = jnp.ones((n_kv, 1, 1, page_rows), jnp.float32)
         v_scales = k_scales
 
-    def scales_idx(b, p, t, c, L):
+    def scales_idx(b, p, t, s, c, L):
         if quantized:
-            return page_idx(b, p, t, c, L)
+            return page_idx(b, p, t, s, c, L)
         return (0, 0, 0, 0)
 
     sc_rows = k_scales.shape[2]
     o = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(max_seqs, max_pages),
             in_specs=[
                 pl.BlockSpec((1, n_kv, g_pad, d_pad), q_idx),
@@ -254,7 +312,7 @@ def paged_decode_attention(
             vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(jnp.asarray(cache.page_tables), counts.astype(jnp.int32),
+    )(jnp.asarray(cache.page_tables), starts, counts.astype(jnp.int32),
       cache.lengths.astype(jnp.int32),
       qg, cache.k_pages, k_scales, cache.v_pages, v_scales)[0]
 
@@ -267,6 +325,7 @@ def paged_multitoken_decode(
     cfg: KVCacheConfig,
     *,
     scale: Optional[float] = None,
+    rule: MaskRule = CausalRule(),
     interpret: Optional[bool] = None,
 ):
     """Speculative verification attention: ``gamma`` tokens per slot.
@@ -305,16 +364,17 @@ def paged_multitoken_decode(
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, rows_pad - rows), (0, d_pad - d)))
 
     counts = -(-cache.lengths // cfg.page_size)
+    starts = _first_live_page(rule, cache.lengths, gamma, cfg.page_size)
     max_pages = cfg.max_pages_per_seq
     quantized = cfg.quantized
     pack = cfg.tok_pack
     page_rows = cfg.page_rows
 
-    def page_idx(b, p, t, c, L):
-        lp = jnp.maximum(0, jnp.minimum(p, c[b] - 1))
+    def page_idx(b, p, t, s, c, L):
+        lp = jnp.maximum(0, jnp.minimum(s[b] + p, c[b] - 1))
         return (0, t[b, lp], 0, 0)
 
-    def q_idx(b, p, t, c, L):
+    def q_idx(b, p, t, s, c, L):
         return (b, 0, 0, 0)
 
     kernel = functools.partial(
@@ -326,6 +386,7 @@ def paged_multitoken_decode(
         quantized=quantized,
         pack=pack,
         gamma=gamma,
+        rule=rule,
     )
 
     k_scales = cache.k_scales
@@ -334,16 +395,16 @@ def paged_multitoken_decode(
         k_scales = jnp.ones((n_kv, 1, 1, page_rows), jnp.float32)
         v_scales = k_scales
 
-    def scales_idx(b, p, t, c, L):
+    def scales_idx(b, p, t, s, c, L):
         if quantized:
-            return page_idx(b, p, t, c, L)
+            return page_idx(b, p, t, s, c, L)
         return (0, 0, 0, 0)
 
     sc_rows = k_scales.shape[2]
     o = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(max_seqs, max_pages),
             in_specs=[
                 pl.BlockSpec((1, n_kv, rows_pad, d_pad), q_idx),
@@ -365,7 +426,7 @@ def paged_multitoken_decode(
             vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(jnp.asarray(cache.page_tables), counts.astype(jnp.int32),
+    )(jnp.asarray(cache.page_tables), starts, counts.astype(jnp.int32),
       cache.lengths.astype(jnp.int32),
       qg, cache.k_pages, k_scales, cache.v_pages, v_scales)[0]
 

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..mask_rules import CausalRule
 from ..models.transformer import ModelConfig, _mlp_block, _rms_norm
 from ..parallel.sharded import mha
 from .decode import paged_decode_attention, paged_multitoken_decode
@@ -291,7 +290,7 @@ class DecodeEngine:
             v = jnp.swapaxes(v, 1, 2)
             q = _rope(q, cfg.rope_theta)
             k = _rope(k, cfg.rope_theta)
-            o = mha(q, k, v, rule=CausalRule(), block_config=cfg.block_config,
+            o = mha(q, k, v, rule=cfg.rule, block_config=cfg.block_config,
                     interpret=self.interpret)
             o = jnp.swapaxes(o, 1, 2).reshape(b, s, cfg.n_heads * cfg.d_head)
             x = x + o @ layer["wo"].astype(o.dtype)
@@ -325,7 +324,7 @@ class DecodeEngine:
                 true_len, self.trash_page, interpret=self.interpret)
             o = paged_prefill_attention(
                 q, cache, self._ccfg_loc, slot, start, true_len,
-                interpret=self.interpret)
+                rule=cfg.rule, interpret=self.interpret)
             x = self._attn_out(layer, x, o.reshape(chunk, -1))
             x = self._mlp(layer, x)
             new_caches.append(cache)
@@ -354,7 +353,8 @@ class DecodeEngine:
             k = _rope_at(k, pos, cfg.rope_theta)
             cache = append_tokens_batched(cache, self._ccfg_loc, k, v, active,
                                           self.trash_page, interpret=self.interpret)
-            o = paged_decode_attention(q, cache, self._ccfg_loc, interpret=self.interpret)
+            o = paged_decode_attention(q, cache, self._ccfg_loc,
+                                       rule=cfg.rule, interpret=self.interpret)
             x = self._attn_out(layer, x, o.reshape(S, -1))
             x = self._mlp(layer, x)
             new_caches.append(cache)
@@ -390,7 +390,7 @@ class DecodeEngine:
                     cache, self._ccfg_loc, k[:, i], v[:, i], active,
                     self.trash_page, interpret=self.interpret)
             o = paged_multitoken_decode(q, cache, self._ccfg_loc,
-                                        interpret=self.interpret)
+                                        rule=cfg.rule, interpret=self.interpret)
             x = self._attn_out(layer, x, o.reshape(S, gamma, -1))
             x = self._mlp(layer, x)
             new_caches.append(cache)

@@ -38,7 +38,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..block_sizes import LANE, VMEM_LIMIT, pad_to
+from ..mask_rules import CausalRule, LocalRule, MaskRule
 from ..ops.kernel_common import LOG2E, NEG_INF_F32
+from .decode import _first_live_page, _rule_visible
 from .kv_cache import KVCacheConfig, PagedKVCache, _unpack_nibbles
 
 __all__ = ["paged_prefill_attention"]
@@ -56,8 +58,9 @@ def _prefill_kernel(
     max_pages: int,
     quantized: bool,
     pack: int = 1,
+    rule: MaskRule = CausalRule(),
 ):
-    # meta = [slot, live_page_count, total_len, start]
+    # meta = [slot, page_count, total_len, start, first_live_page]
     p = pl.program_id(0)
     page_rows = page_size // pack
 
@@ -67,7 +70,10 @@ def _prefill_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(p < meta_ref[1])
+    # page stream starts at the rule's first live page (skip-before-load)
+    lp = meta_ref[4] + p
+
+    @pl.when(p < meta_ref[1] - meta_ref[4])
     def _compute():
         total = meta_ref[2]
         start = meta_ref[3]
@@ -108,13 +114,16 @@ def _prefill_kernel(
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp2(m_prev - m_next)
             # masked entries hold the finite NEG_INF approx; exp2 of the
-            # huge negative difference is exactly 0, and page 0 (processed
-            # first) always holds a live key for every row, so m_next is
-            # real from the first step on — no extra select needed
+            # huge negative difference is exactly 0.  A row with no live
+            # key *yet* still has m_next == NEG_INF, which would turn its
+            # masked entries into exp2(0) == 1 — zero such rows (under a
+            # causal rule page 0 is live for every row, but LocalRule page
+            # skipping can defer a row's first live key)
+            row_live = m_next > jnp.float32(NEG_INF_F32 * 0.5)
             pv = None
             l_add = None
             for s, vh, nib in parts:
-                pw = jnp.exp2(s - m_next)
+                pw = jnp.where(row_live, jnp.exp2(s - m_next), 0.0)
                 ps = jnp.sum(pw, axis=2, keepdims=True)
                 l_add = ps if l_add is None else l_add + ps
                 if quantized:
@@ -129,11 +138,21 @@ def _prefill_kernel(
             l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
             acc_ref[...] = acc_ref[...] * alpha + pv
 
-        # interior pages (every key strictly before the chunk's first row,
-        # hence unmasked for all rows: kv_pos < start <= q_pos <= total)
-        # skip the per-element mask chain entirely — for a chunk at the end
-        # of a long context that is almost every page
-        interior = (p + 1) * page_size <= start
+        # interior pages (every key visible to every row) skip the
+        # per-element mask chain entirely — for a chunk at the end of a
+        # long context that is almost every page.  Causal interior:
+        # kv_pos < start <= q_pos <= total.  A LocalRule additionally
+        # requires the page inside the *oldest* row's window (and a
+        # strided rule masks per element, so it never has interiors).
+        interior = (lp + 1) * page_size <= start
+        if isinstance(rule, LocalRule):
+            if rule.log2_stride_size:
+                interior = interior & (lp != lp)  # never
+            else:
+                # the page's oldest key must be inside the *newest* row's
+                # window: (start+chunk-1) - lp*page <= window - 1
+                interior = interior & (
+                    lp * page_size >= start + chunk - rule.strided_window_size)
 
         @pl.when(interior)
         def _interior():
@@ -147,9 +166,9 @@ def _prefill_kernel(
                 jnp.int32, (1, q_ref.shape[2], 1), 1) % chunk
             masked = []
             for s, vh, nib in parts:
-                kv_pos = (p * page_size + nib) + pack * jax.lax.broadcasted_iota(
+                kv_pos = (lp * page_size + nib) + pack * jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, page_rows), 2)
-                mask = (kv_pos < total) & (kv_pos <= q_pos)
+                mask = (kv_pos < total) & _rule_visible(rule, q_pos, kv_pos)
                 masked.append([jnp.where(mask, s, NEG_INF_F32), vh, nib])
             update(masked)
 
@@ -169,6 +188,7 @@ def paged_prefill_attention(
     true_len,
     *,
     scale: Optional[float] = None,
+    rule: MaskRule = CausalRule(),
     interpret: Optional[bool] = None,
 ):
     """Causal attention of a prompt chunk against one sequence's paged cache.
@@ -205,9 +225,12 @@ def paged_prefill_attention(
 
     total = jnp.asarray(start, jnp.int32) + jnp.asarray(true_len, jnp.int32)
     count = -(-total // cfg.page_size)
+    first_live = _first_live_page(
+        rule, jnp.asarray(start, jnp.int32) + 1, 1, cfg.page_size)
     meta = jnp.stack([
         jnp.asarray(slot, jnp.int32), count.astype(jnp.int32),
-        total.astype(jnp.int32), jnp.asarray(start, jnp.int32)])
+        total.astype(jnp.int32), jnp.asarray(start, jnp.int32),
+        first_live.astype(jnp.int32)])
 
     max_pages = cfg.max_pages_per_seq
     quantized = cfg.quantized
@@ -215,7 +238,7 @@ def paged_prefill_attention(
     page_rows = cfg.page_rows
 
     def page_idx(p, t, m):
-        lp = jnp.maximum(0, jnp.minimum(p, m[1] - 1))
+        lp = jnp.maximum(0, jnp.minimum(m[4] + p, m[1] - 1))
         return (0, t[m[0], lp], 0, 0)
 
     def q_idx(p, t, m):
@@ -229,6 +252,7 @@ def paged_prefill_attention(
         max_pages=max_pages,
         quantized=quantized,
         pack=pack,
+        rule=rule,
     )
 
     k_scales = cache.k_scales

@@ -80,3 +80,21 @@ def test_native_scheduler_matches_python():
         py.release(slot, pages)
         nat.release(slot, pages)
     assert [(r.rid, s) for r, s in py.admit()] == nat.admit()
+
+
+def test_native_scheduler_refund_matches_python():
+    """Early budget refunds (sliding-window eviction) unblock admission in
+    both implementations identically."""
+    from tf_flash_attention_tpu.serving.scheduler import Request, Scheduler
+
+    py = Scheduler(max_seqs=2, n_pages=4, page_size=64)
+    nat = NativeScheduler(max_seqs=2, n_pages=4, page_size=64)
+    for rid, plen, mnew in ((0, 128, 64), (1, 64, 64)):  # 3 + 2 pages
+        py.enqueue(Request(rid, plen, mnew))
+        nat.enqueue(rid, plen, mnew)
+    assert [(r.rid, s) for r, s in py.admit()] == nat.admit() != []
+    # rid 1 blocked on budget (needs 2, only 1 left); refund 1 page
+    assert py.admit() == [] and nat.admit() == []
+    py.refund(1)
+    nat.refund(1)
+    assert [(r.rid, s) for r, s in py.admit()] == nat.admit() != []

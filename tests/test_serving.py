@@ -789,3 +789,55 @@ def test_engine_sliding_window_matches_dense_greedy():
     rid = eng2.submit(prompt, max_new_tokens=8)
     res = eng2.run(max_steps=40)
     assert res[rid] == greedy_dense_w(prompt, 8)
+
+
+def test_engine_sliding_window_page_eviction():
+    """With a LocalRule, a long generation holds only window-bounded pages:
+    evicted pages return to the allocator (and the scheduler budget), and
+    the tokens still match the dense forward exactly."""
+    from tf_flash_attention_tpu.mask_rules import LocalRule
+
+    w = 8
+    mcfg = dataclasses.replace(
+        MCFG, rule=LocalRule(window_size=w, is_causal=True))
+    params = init_params(mcfg, jax.random.PRNGKey(0))
+    ps = 8
+    ecfg = EngineConfig(max_seqs=1, page_size=ps, n_pages=10,
+                        max_pages_per_seq=9, quantized_kv=False,
+                        prefill_mode="chunked", prefill_chunk=8,
+                        prefix_caching=False)
+    eng = DecodeEngine(mcfg, params, ecfg)
+    prompt = [1, 2, 3, 4, 5, 6]
+    n_new = 40  # total 46 tokens = 6 pages > window bound of 2
+    rid = eng.submit(prompt, max_new_tokens=n_new)
+    max_owned = 0
+    steps = 0
+    while (eng.scheduler.queued or eng.num_active) and steps < 80:
+        eng.step()
+        if eng._slots[0] is not None:
+            max_owned = max(max_owned, len(eng.allocator.owned(0)))
+        steps += 1
+    results = dict(eng._results)
+    # window reaches back w-1 tokens from the next query row; plus the
+    # page being appended into: ceil((w - 1) / ps) + 2 pages is the bound
+    assert max_owned <= (w - 1 + ps - 1) // ps + 2, max_owned
+    assert eng.allocator.free_pages == ecfg.n_pages - 1  # all returned
+
+    def greedy_dense_w(prompt, n_new):
+        toks = list(prompt)
+        for _ in range(n_new):
+            logits = forward(mcfg, params, jnp.asarray([toks], jnp.int32))
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        return toks
+
+    assert results[rid] == greedy_dense_w(prompt, n_new)
+
+    # back-to-back long requests keep admitting (budget refunds work):
+    # pages_needed(46 tokens) = 6 of 9 budget pages, so the second request
+    # can only ever admit if the first refunded some budget mid-flight
+    eng2 = DecodeEngine(mcfg, params, ecfg)
+    r1 = eng2.submit(prompt, max_new_tokens=n_new)
+    r2 = eng2.submit(prompt, max_new_tokens=n_new)
+    res2 = eng2.run(max_steps=160)
+    want = greedy_dense_w(prompt, n_new)
+    assert res2[r1] == want and res2[r2] == want

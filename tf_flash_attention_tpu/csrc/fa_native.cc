@@ -241,4 +241,10 @@ void fa_sched_release(void* h, int32_t slot, int64_t pages_held) {
   s->budget += pages_held;
 }
 
+// Budget refund for pages an active slot released early (sliding-window
+// eviction; mirrors Scheduler.refund in scheduler.py).
+void fa_sched_refund(void* h, int64_t n_pages) {
+  static_cast<NativeScheduler*>(h)->budget += n_pages;
+}
+
 }  // extern "C"

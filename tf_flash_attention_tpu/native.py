@@ -53,6 +53,7 @@ def _configure(lib):
     lib.fa_sched_admit.restype = i32
     lib.fa_sched_admit.argtypes = [ctypes.c_void_p, p_i64, p_i32, i32]
     lib.fa_sched_release.argtypes = [ctypes.c_void_p, i32, i64]
+    lib.fa_sched_refund.argtypes = [ctypes.c_void_p, i64]
     return lib
 
 
@@ -189,6 +190,9 @@ class NativeScheduler:
 
     def release(self, slot: int, pages_held: int) -> None:
         self._lib.fa_sched_release(self._h, slot, pages_held)
+
+    def refund(self, n_pages: int) -> None:
+        self._lib.fa_sched_refund(self._h, n_pages)
 
     def __del__(self):
         try:

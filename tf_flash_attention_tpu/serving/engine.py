@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..mask_rules import LocalRule
 from ..models.transformer import ModelConfig, _mlp_block, _rms_norm
 from ..parallel.sharded import mha
 from .decode import paged_decode_attention, paged_multitoken_decode
@@ -526,11 +527,38 @@ class DecodeEngine:
                 for i in range(len(self.caches)):
                     self.caches[i] = assign_page(self.caches[i], slot, logical, page)
 
+    def _evict_window_pages(self):
+        """Sliding-window page eviction: with a LocalRule, pages entirely
+        below every future query row's window are dead — the kernels'
+        first-live-page skipping never reads them — so the slot drops its
+        references and refunds the scheduler budget.  Generation memory is
+        then bounded by the window, not the output length.  Pages shared
+        with the prefix registry stay live (only this slot's reference is
+        dropped); their reuse is the registry's LRU's business.
+        """
+        rule = self.mcfg.rule
+        if not isinstance(rule, LocalRule):
+            return
+        ps = self.ecfg.page_size
+        for slot, st in enumerate(self._slots):
+            if st is None:
+                continue
+            # the next step's oldest query row sits at `length`; it reaches
+            # back strided_window-1 positions, and the window only moves right
+            keep_from = max(0, st["length"] - (rule.strided_window_size - 1)) // ps
+            n = keep_from - st.get("evicted", 0)
+            if n > 0:
+                self.allocator.release_prefix(slot, n)
+                st["evicted"] = st.get("evicted", 0) + n
+                st["refunded"] = st.get("refunded", 0) + n
+                self.scheduler.refund(n)
+
     def _retire(self):
         for slot, st in enumerate(self._slots):
             if st is not None and st["remaining"] <= 0:
                 self.allocator.free(slot)
-                self.scheduler.release(slot, st["reserved"])
+                self.scheduler.release(
+                    slot, st["reserved"] - st.get("refunded", 0))
                 # zero the slot length so dead slots skip all pages
                 for i in range(len(self.caches)):
                     self.caches[i] = dataclasses.replace(
@@ -625,6 +653,7 @@ class DecodeEngine:
             self.caches[i] = dataclasses.replace(
                 self.caches[i], lengths=jnp.asarray(new_lengths, jnp.int32))
         self._retire()
+        self._evict_window_pages()
         return produced
 
     def step(self) -> int:
@@ -666,6 +695,7 @@ class DecodeEngine:
                 st["remaining"] = 0
             produced += 1
         self._retire()
+        self._evict_window_pages()
         return produced
 
     def run(self, max_steps: int = 1000) -> Dict[int, List[int]]:

@@ -71,6 +71,17 @@ class SharedPageAllocator:
     def owned(self, slot: int) -> List[int]:
         return list(self._owned.get(slot, []))
 
+    def release_prefix(self, slot: int, n: int) -> List[int]:
+        """Drop ``slot``'s references to its first ``n`` owned pages (its
+        oldest logical pages — sliding-window eviction).  Returns the
+        released pages; pages still referenced elsewhere (shared prefixes,
+        the registry) stay live."""
+        pages = self._owned.get(slot, [])
+        drop, self._owned[slot] = pages[:n], pages[n:]
+        for p in drop:
+            self._decref(p)
+        return drop
+
     def free(self, slot: int) -> List[int]:
         """Drop all of ``slot``'s references; returns the pages released."""
         pages = self._owned.pop(slot, [])

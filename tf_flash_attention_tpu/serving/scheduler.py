@@ -63,3 +63,8 @@ class Scheduler:
     def release(self, slot: int, pages_held: int) -> None:
         self._free_slots.append(slot)
         self._budget += pages_held
+
+    def refund(self, n_pages: int) -> None:
+        """Return budget for pages a still-active slot released early
+        (sliding-window eviction)."""
+        self._budget += n_pages

@@ -19,6 +19,8 @@ from tf_flash_attention_tpu.serving.kv_cache import (
     KVCacheConfig,
     PageAllocator,
     PagedKVCache,
+    append_tokens_batched as append_tokens_batched_ref,
+    assign_page,
     write_prompt,
 )
 
@@ -841,3 +843,93 @@ def test_engine_sliding_window_page_eviction():
     res2 = eng2.run(max_steps=160)
     want = greedy_dense_w(prompt, n_new)
     assert res2[r1] == want and res2[r2] == want
+
+
+# ---- sequence-sharded (context-parallel) decode ----
+
+def test_seq_sharded_decode_matches_flat():
+    """Context-parallel decode: KV pages round-robin over 4 shards, partial
+    (o, l, m) merged by one psum — must equal the single-device decode on
+    the equivalent flat cache, through appends crossing page boundaries."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    from tf_flash_attention_tpu.parallel.mesh import make_mesh
+    from tf_flash_attention_tpu.serving.seq_sharded_decode import (
+        create_seq_sharded_cache, seq_sharded_append,
+        seq_sharded_paged_decode, write_prompt_seq_sharded)
+
+    rng = np.random.default_rng(41)
+    n_shards, ps = 4, 32
+    mesh = make_mesh((n_shards,), ("seq",), jax.devices()[:n_shards])
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=ps, n_pages=8,
+                        max_seqs=2, max_pages_per_seq=6, quantized=True)
+    # flat reference cache big enough for every shard's pages
+    flat_cfg = dataclasses.replace(
+        cfg, n_pages=64, max_pages_per_seq=n_shards * cfg.max_pages_per_seq)
+
+    t = 7 * ps + 11  # 8 global pages: shards 0..3 hold 2,2,2,2 (last partial)
+    k = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+
+    sc = create_seq_sharded_cache(cfg, mesh, "seq")
+    allocs = [PageAllocator(cfg.n_pages - 1) for _ in range(n_shards)]
+    per_shard = [a.alloc(0, 3) for a in allocs]
+    sc = write_prompt_seq_sharded(sc, cfg, mesh, "seq", 0, per_shard, k, v)
+
+    flat = PagedKVCache.create(flat_cfg)
+    falloc = PageAllocator(flat_cfg.n_pages - 1)
+    flat = write_prompt(flat, flat_cfg, 0, np.array(falloc.alloc(0, 8)), k, v)
+
+    q = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32)), jnp.float32)
+    dec = seq_sharded_paged_decode(mesh, cfg, "seq")
+    o = dec(q, sc)
+    o_flat = paged_decode_attention(q, flat, flat_cfg)
+    # per-shard m shifts change the bf16 rounding of the probability tiles,
+    # so parity is at bf16-rounding level, not fp32-exact
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_flat),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(o[1]), 0.0)
+
+    # appends crossing a page boundary: positions t..t+29 span global pages
+    # 7 (owner shard 3) and 8 (owner shard 0, needs a fresh mapped page)
+    app = seq_sharded_append(mesh, cfg, "seq", trash_page=cfg.n_pages - 1,
+                             interpret=True)
+    # pre-map global page 8 -> shard 0, local logical page 2
+    new_page = allocs[0].alloc(1, 1)[0]
+    tables = np.array(sc.page_tables)
+    tables[0, 0, 2] = new_page
+    sc = dataclasses.replace(sc, page_tables=jnp.asarray(tables))
+    # the flat reference also needs global page 8 mapped for growth
+    flat = assign_page(flat, 0, 8, falloc.alloc(1, 1)[0])
+    active = jnp.asarray([True, False])
+    new_toks = rng.uniform(-1, 1, (30, 2, 32)).astype(np.float32)
+    for i in range(30):
+        kn = jnp.zeros((2, 2, 32), jnp.float32).at[0].set(jnp.asarray(new_toks[i]))
+        sc = app(sc, kn, kn, active)
+        flat = append_tokens_batched_ref(flat, flat_cfg, kn, kn, active,
+                                             trash_page=flat_cfg.n_pages - 1)
+    o2 = dec(q, sc)
+    o2_flat = paged_decode_attention(q, flat, flat_cfg)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o2_flat),
+                               rtol=1e-3, atol=1e-3)
+    # per-shard local lengths sum to the global length
+    assert int(np.asarray(sc.lengths)[:, 0].sum()) == t + 30
+
+
+def test_fp8_e5m2_cache_roundtrip_accuracy():
+    rng = np.random.default_rng(42)
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=64, n_pages=8,
+                        max_seqs=1, max_pages_per_seq=2, quantized=True,
+                        quant_dtype=jnp.float8_e5m2)
+    cache = PagedKVCache.create(cfg)
+    assert cache.k_pages.dtype == jnp.float8_e5m2
+    alloc = PageAllocator(cfg.n_pages - 1)
+    t = 100
+    k = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    cache = write_prompt(cache, cfg, 0, np.array(alloc.alloc(0, 2)), k, v)
+    q = jnp.asarray(rng.uniform(-1, 1, (1, 4, 32)), jnp.float32)
+    o = paged_decode_attention(q, cache, cfg)
+    ref = _dense_oracle_from(np.asarray(k), np.asarray(v), np.asarray(q[0]))
+    err = np.abs(np.asarray(o[0]) - ref).max()
+    assert err < 1.5e-1, err  # e5m2 has 2 mantissa bits

@@ -104,9 +104,7 @@ __all__ = ["paged_decode_attention", "paged_multitoken_decode"]
 def _decode_kernel(
     tables_ref, starts_ref, counts_ref, lengths_ref,   # scalar prefetch
     q_ref, k_ref, ks_ref, v_ref, vs_ref,          # inputs
-    o_ref,                                        # output
-    acc_ref, m_scratch, l_scratch,                # scratch (n_kv, g_pad, ...)
-    *,
+    *refs,                                        # outputs + scratch
     n_kv: int,
     page_size: int,
     max_pages: int,
@@ -115,7 +113,13 @@ def _decode_kernel(
     pack: int = 1,
     gamma: int = 1,
     rule: MaskRule = CausalRule(),
+    return_lm: bool = False,
 ):
+    if return_lm:
+        o_ref, l_ref, m_ref, acc_ref, m_scratch, l_scratch = refs
+    else:
+        o_ref, acc_ref, m_scratch, l_scratch = refs
+        l_ref = m_ref = None
     b = pl.program_id(0)
     p = pl.program_id(1)
     page_rows = page_size // pack
@@ -212,6 +216,11 @@ def _decode_kernel(
         l_col = l_scratch[:, :, :1]
         l_safe = jnp.where(l_col == 0.0, 1.0, l_col)
         o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        if return_lm:
+            # per-row softmax statistics for cross-shard merging (base-2,
+            # i.e. m is in the same exp2 domain the kernel works in)
+            l_ref[0] = l_scratch[...]
+            m_ref[0] = m_scratch[...]
 
 
 def paged_decode_attention(
@@ -221,6 +230,7 @@ def paged_decode_attention(
     *,
     scale: Optional[float] = None,
     rule: MaskRule = CausalRule(),
+    returning_l_m: bool = False,
     interpret: Optional[bool] = None,
 ):
     """One decode step of attention against the paged cache.
@@ -232,6 +242,12 @@ def paged_decode_attention(
     left-to-right ordering is always enforced; ``LocalRule`` restricts
     each query to its strided window and pages below the window are never
     loaded).
+
+    ``returning_l_m``: also return the per-row online-softmax statistics
+    ``(o, l, m)`` — each (max_seqs, n_q_heads) f32, ``m`` in the kernel's
+    base-2 domain — so partial attentions over disjoint KV shards can be
+    merged exactly (sequence-sharded decode; same merge contract as the
+    training kernels' ``(O, l, m)`` outputs).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
@@ -272,6 +288,7 @@ def paged_decode_attention(
         quantized=quantized,
         pack=pack,
         rule=rule,
+        return_lm=returning_l_m,
     )
 
     k_scales = cache.k_scales
@@ -287,7 +304,13 @@ def paged_decode_attention(
         return (0, 0, 0, 0)
 
     sc_rows = k_scales.shape[2]
-    o = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((max_seqs, n_kv, g_pad, d_pad), q.dtype)]
+    out_specs = [pl.BlockSpec((1, n_kv, g_pad, d_pad), q_idx)]
+    if returning_l_m:
+        lm_shape = jax.ShapeDtypeStruct((max_seqs, n_kv, g_pad, LANE), jnp.float32)
+        out_shape += [lm_shape, lm_shape]
+        out_specs += [pl.BlockSpec((1, n_kv, g_pad, LANE), q_idx)] * 2
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -299,14 +322,14 @@ def paged_decode_attention(
                 pl.BlockSpec((n_kv, 1, page_rows, d_pad), page_idx),
                 pl.BlockSpec((n_kv, 1, sc_rows, page_rows), scales_idx),
             ],
-            out_specs=[pl.BlockSpec((1, n_kv, g_pad, d_pad), q_idx)],
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((n_kv, g_pad, d_pad), jnp.float32),
                 pltpu.VMEM((n_kv, g_pad, LANE), jnp.float32),
                 pltpu.VMEM((n_kv, g_pad, LANE), jnp.float32),
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((max_seqs, n_kv, g_pad, d_pad), q.dtype)],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=VMEM_LIMIT,
@@ -314,9 +337,14 @@ def paged_decode_attention(
         interpret=interpret,
     )(jnp.asarray(cache.page_tables), starts, counts.astype(jnp.int32),
       cache.lengths.astype(jnp.int32),
-      qg, cache.k_pages, k_scales, cache.v_pages, v_scales)[0]
+      qg, cache.k_pages, k_scales, cache.v_pages, v_scales)
 
-    return o[:, :, :g, :d].reshape(max_seqs, n_q_heads, d)
+    o = outs[0][:, :, :g, :d].reshape(max_seqs, n_q_heads, d)
+    if returning_l_m:
+        l = outs[1][:, :, :g, 0].reshape(max_seqs, n_q_heads)
+        m = outs[2][:, :, :g, 0].reshape(max_seqs, n_q_heads)
+        return o, l, m
+    return o
 
 
 def paged_multitoken_decode(

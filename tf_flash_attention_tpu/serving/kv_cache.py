@@ -59,7 +59,8 @@ class KVCacheConfig:
     max_seqs: int = 8
     max_pages_per_seq: int = 16
     quantized: bool = True
-    # int8, float8_e4m3fn, or the string "int4" (nibble-packed int8 bytes)
+    # int8, float8_e4m3fn, float8_e5m2, or the string "int4" (nibble-packed
+    # int8 bytes)
     quant_dtype: object = jnp.int8
     dtype: object = jnp.bfloat16      # payload dtype when not quantized
 
@@ -129,6 +130,8 @@ def _quant_max(qdtype) -> float:
         return 127.0
     if jnp.dtype(qdtype) == jnp.dtype(jnp.float8_e4m3fn):
         return 448.0
+    if jnp.dtype(qdtype) == jnp.dtype(jnp.float8_e5m2):
+        return 57344.0
     raise ValueError(f"unsupported quant dtype {qdtype}")
 
 

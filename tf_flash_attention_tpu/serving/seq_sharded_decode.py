@@ -1,0 +1,190 @@
+"""Sequence-sharded (context-parallel) paged decode.
+
+The long-context serving topology from SURVEY §2's parallelism inventory:
+the KV cache is sharded **along the sequence** over a mesh axis, so a
+context larger than one chip's HBM spreads across the slice and every
+chip streams only its own pages.  Each chip runs the ordinary paged
+decode kernel over its local pages, producing partial ``(o, l, m)``
+online-softmax statistics; one tiny ``psum`` merges them exactly — the
+same (m, l, O) merge the training-path ring attention uses per hop
+(``parallel/ring.py``), and mathematically the reference's online merge
+(``flash_attention.cu:974-1035``) applied across chips instead of across
+tiles.  The collective payload is (seqs, heads, d) — independent of
+context length — so ICI cost is negligible next to the HBM scan it
+parallelises.
+
+Placement is round-robin at page granularity: global logical page ``g``
+of a sequence lives on shard ``g % n_shards`` at local logical index
+``g // n_shards``.  Consequences:
+
+* load balance: a growing sequence's pages spread evenly, so every chip
+  scans ~``ctx / n_shards`` tokens per step;
+* the *local* page stream of every shard is a dense prefix of full pages
+  (plus one growing tail page on the owner shard), so the unmodified
+  decode kernel's ``token_pos < local_length`` causal bound is exactly
+  right — no global-position arithmetic reaches the kernel.  (This is
+  also why v1 supports Full/Causal rules only: a LocalRule window is
+  defined on global positions, which round-robin placement hides.)
+
+Appends route to the single owner shard of the written position via the
+batched-append kernel's ``active`` mask (inactive shards write their
+trash page); the owner is derived inside ``shard_map`` from the global
+length ``psum(local lengths)`` — no host bookkeeping beyond page-table
+mapping.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mask_rules import CausalRule, LocalRule, MaskRule
+from .decode import paged_decode_attention
+from .kv_cache import KVCacheConfig, PagedKVCache, append_tokens_batched, write_prompt
+
+__all__ = ["create_seq_sharded_cache", "write_prompt_seq_sharded",
+           "seq_sharded_paged_decode", "seq_sharded_append"]
+
+
+def _shard_pspec(cfg: KVCacheConfig, axis: str) -> PagedKVCache:
+    lead = P(axis)
+    return PagedKVCache(
+        k_pages=lead, v_pages=lead,
+        k_scales=lead if cfg.quantized else None,
+        v_scales=lead if cfg.quantized else None,
+        page_tables=lead, lengths=lead)
+
+
+def create_seq_sharded_cache(cfg: KVCacheConfig, mesh: Mesh, axis: str
+                             ) -> PagedKVCache:
+    """A PagedKVCache whose every array gains a leading shard dimension
+    sharded over ``axis``.  ``cfg`` describes ONE shard (its ``n_pages``/
+    ``max_pages_per_seq`` are per-shard capacities)."""
+    n = int(mesh.shape[axis])
+    local = PagedKVCache.create(cfg)
+    stacked = jax.tree.map(lambda x: np.broadcast_to(
+        np.asarray(x)[None], (n,) + x.shape).copy(), local)
+    specs = _shard_pspec(cfg, axis)
+    return jax.tree.map(
+        lambda x, s: None if x is None
+        else jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
+        stacked, specs,
+        is_leaf=lambda x: x is None)
+
+
+def write_prompt_seq_sharded(cache: PagedKVCache, cfg: KVCacheConfig,
+                             mesh: Mesh, axis: str, slot: int,
+                             per_shard_pages, k: jax.Array, v: jax.Array
+                             ) -> PagedKVCache:
+    """Write a prompt's K/V round-robin across shards (host-side setup).
+
+    ``per_shard_pages[r]`` lists shard ``r``'s free physical pages to use
+    (host ints, as from a per-shard ``PageAllocator``).  ``k, v``:
+    (n_kv_heads, t, head_dim).
+    """
+    n = int(mesh.shape[axis])
+    ps = cfg.page_size
+    t = k.shape[1]
+    n_global = -(-t // ps)
+    shards = []
+    for r in range(n):
+        local = jax.tree.map(
+            lambda x: x[r] if x is not None else None, cache,
+            is_leaf=lambda x: x is None)
+        g_pages = list(range(r, n_global, n))          # global pages on r
+        if g_pages:
+            kparts = [k[:, g * ps:(g + 1) * ps] for g in g_pages]
+            vparts = [v[:, g * ps:(g + 1) * ps] for g in g_pages]
+            k_loc = jnp.concatenate(kparts, axis=1)
+            v_loc = jnp.concatenate(vparts, axis=1)
+            local = write_prompt(local, cfg, slot,
+                                 np.asarray(per_shard_pages[r][:len(g_pages)]),
+                                 k_loc, v_loc)
+        shards.append(local)
+    stacked = jax.tree.map(
+        lambda *xs: None if xs[0] is None else jnp.stack(xs), *shards,
+        is_leaf=lambda x: x is None)
+    specs = _shard_pspec(cfg, axis)
+    return jax.tree.map(
+        lambda x, s: None if x is None
+        else jax.device_put(x, NamedSharding(mesh, s)),
+        stacked, specs, is_leaf=lambda x: x is None)
+
+
+def seq_sharded_paged_decode(mesh: Mesh, cfg: KVCacheConfig, axis: str,
+                             *, scale: Optional[float] = None,
+                             rule: MaskRule = CausalRule(),
+                             interpret: Optional[bool] = None):
+    """Build ``fn(q, cache) -> o``: context-parallel decode over ``axis``.
+
+    ``q`` replicated (max_seqs, n_q_heads, d); ``cache`` from
+    ``create_seq_sharded_cache``/``write_prompt_seq_sharded``.
+    """
+    if isinstance(rule, LocalRule):
+        raise NotImplementedError(
+            "sequence-sharded decode supports Full/Causal rules; a window "
+            "rule needs global positions, which round-robin placement hides")
+    cache_specs = _shard_pspec(cfg, axis)
+
+    def local_fn(q, cache):
+        local = jax.tree.map(lambda x: x[0] if x is not None else None,
+                             cache, is_leaf=lambda x: x is None)
+        o, l, m = paged_decode_attention(
+            q, local, cfg, scale=scale, rule=rule, returning_l_m=True,
+            interpret=interpret)
+        # exact cross-shard online merge (base-2 domain, as in the kernel)
+        m_star = jax.lax.pmax(m, axis)
+        w = l * jnp.exp2(m - m_star)          # 0 for shards with no keys
+        num = jax.lax.psum(o.astype(jnp.float32) * w[..., None], axis)
+        den = jax.lax.psum(w, axis)[..., None]
+        return (num / jnp.where(den == 0.0, 1.0, den)).astype(q.dtype)
+
+    return jax.jit(
+        shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(), cache_specs),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
+def seq_sharded_append(mesh: Mesh, cfg: KVCacheConfig, axis: str,
+                       trash_page: int,
+                       interpret: Optional[bool] = None):
+    """Build ``fn(cache, k_new, v_new, active) -> cache``: one decode-step
+    append routed to each position's owner shard.
+
+    ``k_new, v_new``: (max_seqs, n_kv_heads, head_dim) replicated.  The
+    target page of every slot must already be mapped in the owner shard's
+    local table (the caller's ``_ensure_capacity`` analog).
+    """
+    n = int(mesh.shape[axis])
+    cache_specs = _shard_pspec(cfg, axis)
+
+    def local_fn(cache, k_new, v_new, active):
+        local = jax.tree.map(lambda x: x[0] if x is not None else None,
+                             cache, is_leaf=lambda x: x is None)
+        me = jax.lax.axis_index(axis)
+        global_len = jax.lax.psum(local.lengths, axis)   # (max_seqs,)
+        owner = (global_len // cfg.page_size) % n
+        mine = jnp.logical_and(active, owner == me)
+        new = append_tokens_batched(local, cfg, k_new, v_new, mine,
+                                    trash_page, interpret=interpret)
+        return jax.tree.map(lambda x: x[None] if x is not None else None,
+                            new, is_leaf=lambda x: x is None)
+
+    return jax.jit(
+        shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(cache_specs, P(), P(), P()),
+            out_specs=cache_specs,
+            check_vma=False,
+        ),
+        donate_argnums=(0,),
+    )

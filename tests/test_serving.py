@@ -933,3 +933,135 @@ def test_fp8_e5m2_cache_roundtrip_accuracy():
     ref = _dense_oracle_from(np.asarray(k), np.asarray(v), np.asarray(q[0]))
     err = np.abs(np.asarray(o[0]) - ref).max()
     assert err < 1.5e-1, err  # e5m2 has 2 mantissa bits
+
+
+def test_seq_sharded_prefill_and_local_rule():
+    """Context-parallel prefill matches flat prefill, and a LocalRule
+    window works across shards (global positions reconstructed from the
+    round-robin placement; per-shard window page skipping)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    from tf_flash_attention_tpu.mask_rules import LocalRule
+    from tf_flash_attention_tpu.parallel.mesh import make_mesh
+    from tf_flash_attention_tpu.serving.prefill import paged_prefill_attention
+    from tf_flash_attention_tpu.serving.seq_sharded_decode import (
+        create_seq_sharded_cache, seq_sharded_paged_decode,
+        seq_sharded_paged_prefill, write_prompt_seq_sharded)
+
+    rng = np.random.default_rng(43)
+    n_shards, ps = 4, 32
+    mesh = make_mesh((n_shards,), ("seq",), jax.devices()[:n_shards])
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=ps, n_pages=8,
+                        max_seqs=2, max_pages_per_seq=6, quantized=True)
+    flat_cfg = dataclasses.replace(
+        cfg, n_pages=64, max_pages_per_seq=n_shards * cfg.max_pages_per_seq)
+
+    total = 7 * ps + 11
+    start, chunk = total - 40, 40  # prefill rows = the last 40 tokens
+    chunk_pad = 48
+    k = jnp.asarray(rng.uniform(-1, 1, (2, total, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, total, 32)), jnp.float32)
+
+    sc = create_seq_sharded_cache(cfg, mesh, "seq")
+    allocs = [PageAllocator(cfg.n_pages - 1) for _ in range(n_shards)]
+    per_shard = [a.alloc(0, 3) for a in allocs]
+    sc = write_prompt_seq_sharded(sc, cfg, mesh, "seq", 0, per_shard, k, v)
+
+    flat = PagedKVCache.create(flat_cfg)
+    falloc = PageAllocator(flat_cfg.n_pages - 1)
+    flat = write_prompt(flat, flat_cfg, 0, np.array(falloc.alloc(0, 8)), k, v)
+
+    q = jnp.asarray(rng.uniform(-1, 1, (chunk_pad, 4, 32)), jnp.float32)
+    pf = seq_sharded_paged_prefill(mesh, cfg, "seq")
+    o = pf(q, sc, jnp.asarray(0), jnp.asarray(start), jnp.asarray(chunk))
+    o_flat = paged_prefill_attention(q, flat, flat_cfg, 0, start, chunk)
+    np.testing.assert_allclose(np.asarray(o[:chunk]), np.asarray(o_flat[:chunk]),
+                               rtol=1e-3, atol=1e-3)
+
+    # window rule across shards: decode and prefill vs the flat kernels
+    rule = LocalRule(window_size=48, is_causal=True)
+    q1 = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32)), jnp.float32)
+    dec = seq_sharded_paged_decode(mesh, cfg, "seq", rule=rule)
+    o_dec = dec(q1, sc)
+    o_dec_flat = paged_decode_attention(q1, flat, flat_cfg, rule=rule)
+    np.testing.assert_allclose(np.asarray(o_dec), np.asarray(o_dec_flat),
+                               rtol=1e-3, atol=1e-3)
+
+    pf_w = seq_sharded_paged_prefill(mesh, cfg, "seq", rule=rule)
+    o_w = pf_w(q, sc, jnp.asarray(0), jnp.asarray(start), jnp.asarray(chunk))
+    o_w_flat = paged_prefill_attention(q, flat, flat_cfg, 0, start, chunk,
+                                       rule=rule)
+    np.testing.assert_allclose(np.asarray(o_w[:chunk]),
+                               np.asarray(o_w_flat[:chunk]),
+                               rtol=1e-3, atol=1e-3)
+
+    # strided window (stride 8 > nothing special, exercises divisibility)
+    rule_s = LocalRule(window_size=8, log2_stride_size=3, is_causal=True)
+    dec_s = seq_sharded_paged_decode(mesh, cfg, "seq", rule=rule_s)
+    o_s = dec_s(q1, sc)
+    o_s_flat = paged_decode_attention(q1, flat, flat_cfg, rule=rule_s)
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_s_flat),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_engine_stats_counters():
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_seqs=2, page_size=64, n_pages=16,
+                        max_pages_per_seq=4, quantized_kv=False,
+                        prefill_mode="chunked", prefill_chunk=8,
+                        prefix_caching=False)
+    eng = DecodeEngine(MCFG, params, ecfg)
+    eng.submit([1, 2, 3, 4, 5], max_new_tokens=4)
+    eng.submit([7, 8, 9], max_new_tokens=3)
+    eng.run(max_steps=30)
+    st = eng.stats
+    assert st["admitted"] == 2 and st["retired"] == 2
+    # prefill emits the first token; steps produce the rest
+    assert st["decode_tokens"] == (4 - 1) + (3 - 1)
+    assert st["prefill_tokens"] == 5 + 3
+    assert st["prefill_chunks"] == 1 + 1
+    assert st["steps"] >= 3
+    assert st["pages_in_use_peak"] >= 2
+    assert st["pages_evicted"] == 0  # causal model: no window eviction
+
+
+def test_serving_rule_fuzz():
+    """Reference-style random sweep (tests/test_base.py fuzzing model) over
+    window/stride/lengths/page sizes for the paged decode kernel's rule
+    masking, interpret mode."""
+    from tf_flash_attention_tpu.mask_rules import CausalRule, LocalRule
+    from tf_flash_attention_tpu.serving.kv_cache import gather_sequence_kv
+
+    rng = np.random.default_rng(97)
+    for it in range(6):
+        ps = int(rng.choice([16, 32, 64]))
+        t = int(rng.integers(ps + 1, 6 * ps))
+        n_pages = -(-t // ps) + 2
+        d = 32
+        if it % 3 == 0:
+            rule = CausalRule()
+        else:
+            rule = LocalRule(window_size=int(rng.integers(1, 40)),
+                             log2_stride_size=int(rng.choice([0, 1, 3])),
+                             is_causal=True)
+        cfg = KVCacheConfig(n_kv_heads=2, head_dim=d, page_size=ps,
+                            n_pages=n_pages, max_seqs=1,
+                            max_pages_per_seq=n_pages - 1,
+                            quantized=bool(it % 2), dtype=jnp.float32)
+        cache = PagedKVCache.create(cfg)
+        alloc = PageAllocator(cfg.n_pages - 1)
+        k = jnp.asarray(rng.uniform(-1, 1, (2, t, d)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-1, 1, (2, t, d)), jnp.float32)
+        cache = write_prompt(cache, cfg, 0,
+                             np.array(alloc.alloc(0, -(-t // ps))), k, v)
+        q = jnp.asarray(rng.uniform(-1, 1, (1, 4, d)), jnp.float32)
+        o = paged_decode_attention(q, cache, cfg, rule=rule)
+        kd, vd = gather_sequence_kv(cache, cfg, 0)
+        if isinstance(rule, LocalRule):
+            ref = _masked_oracle(kd, vd, np.asarray(q[0]), t - 1,
+                                 rule.window_size, rule.log2_stride_size)
+        else:
+            ref = _dense_oracle_from(kd, vd, np.asarray(q[0]))
+        tol = 2e-2 if cfg.quantized else 3e-5
+        err = np.abs(np.asarray(o[0]) - ref).max()
+        assert err < tol, (it, ps, t, rule, err)

@@ -87,22 +87,31 @@ def _rule_visible(rule, q_pos, kv_pos):
     return ok
 
 
-def _first_live_page(rule, lengths, gamma, page_size):
-    """Per-slot index of the first page the rule can see (skip-before-load).
+def _first_live_page(rule, lengths, gamma, page_size, stride=1, offset=0):
+    """Per-slot LOCAL index of the first page the rule can see
+    (skip-before-load).
 
-    The oldest query row sits at position ``length - gamma``; a LocalRule
-    cannot see kv below ``oldest - (strided_window - 1)``.
+    The oldest query row sits at GLOBAL position ``length - gamma``; a
+    LocalRule cannot see kv below ``oldest - (strided_window - 1)``.  With
+    sequence sharding (``stride`` = number of shards, ``offset`` = this
+    shard's index) local page j holds global page ``j*stride + offset``,
+    so the first live local page is the count of local pages strictly
+    below the global first-live page.
     """
     if isinstance(rule, LocalRule):
         lo = jnp.maximum(0, lengths - gamma - (rule.strided_window_size - 1))
-        return (lo // page_size).astype(jnp.int32)
+        gfp = lo // page_size
+        if stride == 1:
+            return gfp.astype(jnp.int32)
+        local = jnp.where(gfp > offset, (gfp - offset + stride - 1) // stride, 0)
+        return local.astype(jnp.int32)
     return jnp.zeros_like(lengths, jnp.int32)
 
 __all__ = ["paged_decode_attention", "paged_multitoken_decode"]
 
 
 def _decode_kernel(
-    tables_ref, starts_ref, counts_ref, lengths_ref,   # scalar prefetch
+    tables_ref, shard_ref, starts_ref, counts_ref, lengths_ref,  # prefetch
     q_ref, k_ref, ks_ref, v_ref, vs_ref,          # inputs
     *refs,                                        # outputs + scratch
     n_kv: int,
@@ -114,7 +123,11 @@ def _decode_kernel(
     gamma: int = 1,
     rule: MaskRule = CausalRule(),
     return_lm: bool = False,
+    page_stride: int = 1,
 ):
+    # sequence sharding: local page j holds global page j*stride + offset
+    # (shard_ref[0]); lengths_ref carries GLOBAL lengths, counts_ref the
+    # LOCAL page counts — stride 1 / offset 0 is the single-shard case
     if return_lm:
         o_ref, l_ref, m_ref, acc_ref, m_scratch, l_scratch = refs
     else:
@@ -132,6 +145,7 @@ def _decode_kernel(
 
     # the page stream starts at the rule's first live page (skip-before-load)
     lp = starts_ref[b] + p
+    gp = lp * page_stride + shard_ref[0]          # global page index
 
     @pl.when(p < counts_ref[b] - starts_ref[b])
     def _compute():
@@ -175,7 +189,7 @@ def _decode_kernel(
                 s = s * (ks_ref[:, 0, nib][:, None, :] * jnp.float32(scale * LOG2E))
             else:
                 s = s * jnp.float32(scale * LOG2E)
-            token_pos = (lp * page_size + nib) + pack * jax.lax.broadcasted_iota(
+            token_pos = (gp * page_size + nib) + pack * jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, page_rows), 2)
             s = jnp.where(bounds_for(token_pos), s, NEG_INF_F32)
             parts.append((s, vh, nib))
@@ -231,12 +245,20 @@ def paged_decode_attention(
     scale: Optional[float] = None,
     rule: MaskRule = CausalRule(),
     returning_l_m: bool = False,
+    page_stride: int = 1,
+    page_offset=None,
+    global_lengths=None,
     interpret: Optional[bool] = None,
 ):
     """One decode step of attention against the paged cache.
 
     ``q``: (max_seqs, n_q_heads, head_dim) — the current token's queries.
     Returns ``o`` of the same shape.  Sequences with length 0 yield zeros.
+
+    Sequence sharding (``seq_sharded_decode.py``): when the cache holds
+    every ``page_stride``-th global page starting at ``page_offset``
+    (a traced scalar), pass ``global_lengths`` so masking and window
+    skipping run on global token positions while page counts stay local.
 
     ``rule``: masking rule (Full/Causal behave identically at decode —
     left-to-right ordering is always enforced; ``LocalRule`` restricts
@@ -265,18 +287,22 @@ def paged_decode_attention(
     qg = q.reshape(max_seqs, n_kv, g, d)
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - g), (0, d_pad - d)))
 
+    glob_len = cache.lengths if global_lengths is None else global_lengths
+    offset = jnp.zeros((1,), jnp.int32) if page_offset is None else (
+        jnp.asarray(page_offset, jnp.int32).reshape(1))
     counts = -(-cache.lengths // cfg.page_size)
-    starts = _first_live_page(rule, cache.lengths, 1, cfg.page_size)
+    starts = _first_live_page(rule, glob_len, 1, cfg.page_size,
+                              page_stride, offset[0])
     max_pages = cfg.max_pages_per_seq
     quantized = cfg.quantized
     pack = cfg.tok_pack
     page_rows = cfg.page_rows
 
-    def page_idx(b, p, t, s, c, L):
+    def page_idx(b, p, t, sh, s, c, L):
         lp = jnp.maximum(0, jnp.minimum(s[b] + p, c[b] - 1))
         return (0, t[b, lp], 0, 0)
 
-    def q_idx(b, p, t, s, c, L):
+    def q_idx(b, p, t, sh, s, c, L):
         return (b, 0, 0, 0)
 
     kernel = functools.partial(
@@ -289,6 +315,7 @@ def paged_decode_attention(
         pack=pack,
         rule=rule,
         return_lm=returning_l_m,
+        page_stride=page_stride,
     )
 
     k_scales = cache.k_scales
@@ -298,9 +325,9 @@ def paged_decode_attention(
         k_scales = jnp.ones((n_kv, 1, 1, page_rows), jnp.float32)
         v_scales = k_scales
 
-    def scales_idx(b, p, t, s, c, L):
+    def scales_idx(b, p, t, sh, s, c, L):
         if quantized:
-            return page_idx(b, p, t, s, c, L)
+            return page_idx(b, p, t, sh, s, c, L)
         return (0, 0, 0, 0)
 
     sc_rows = k_scales.shape[2]
@@ -313,7 +340,7 @@ def paged_decode_attention(
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(max_seqs, max_pages),
             in_specs=[
                 pl.BlockSpec((1, n_kv, g_pad, d_pad), q_idx),
@@ -335,8 +362,8 @@ def paged_decode_attention(
             vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(jnp.asarray(cache.page_tables), starts, counts.astype(jnp.int32),
-      cache.lengths.astype(jnp.int32),
+    )(jnp.asarray(cache.page_tables), offset, starts, counts.astype(jnp.int32),
+      glob_len.astype(jnp.int32),
       qg, cache.k_pages, k_scales, cache.v_pages, v_scales)
 
     o = outs[0][:, :, :g, :d].reshape(max_seqs, n_q_heads, d)
@@ -354,6 +381,9 @@ def paged_multitoken_decode(
     *,
     scale: Optional[float] = None,
     rule: MaskRule = CausalRule(),
+    page_stride: int = 1,
+    page_offset=None,
+    global_lengths=None,
     interpret: Optional[bool] = None,
 ):
     """Speculative verification attention: ``gamma`` tokens per slot.
@@ -391,18 +421,22 @@ def paged_multitoken_decode(
     qg = jnp.transpose(qg, (0, 2, 3, 1, 4)).reshape(max_seqs, n_kv, rows, d)
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, rows_pad - rows), (0, d_pad - d)))
 
+    glob_len = cache.lengths if global_lengths is None else global_lengths
+    offset = jnp.zeros((1,), jnp.int32) if page_offset is None else (
+        jnp.asarray(page_offset, jnp.int32).reshape(1))
     counts = -(-cache.lengths // cfg.page_size)
-    starts = _first_live_page(rule, cache.lengths, gamma, cfg.page_size)
+    starts = _first_live_page(rule, glob_len, gamma, cfg.page_size,
+                              page_stride, offset[0])
     max_pages = cfg.max_pages_per_seq
     quantized = cfg.quantized
     pack = cfg.tok_pack
     page_rows = cfg.page_rows
 
-    def page_idx(b, p, t, s, c, L):
+    def page_idx(b, p, t, sh, s, c, L):
         lp = jnp.maximum(0, jnp.minimum(s[b] + p, c[b] - 1))
         return (0, t[b, lp], 0, 0)
 
-    def q_idx(b, p, t, s, c, L):
+    def q_idx(b, p, t, sh, s, c, L):
         return (b, 0, 0, 0)
 
     kernel = functools.partial(
@@ -415,6 +449,7 @@ def paged_multitoken_decode(
         pack=pack,
         gamma=gamma,
         rule=rule,
+        page_stride=page_stride,
     )
 
     k_scales = cache.k_scales
@@ -423,16 +458,16 @@ def paged_multitoken_decode(
         k_scales = jnp.ones((n_kv, 1, 1, page_rows), jnp.float32)
         v_scales = k_scales
 
-    def scales_idx(b, p, t, s, c, L):
+    def scales_idx(b, p, t, sh, s, c, L):
         if quantized:
-            return page_idx(b, p, t, s, c, L)
+            return page_idx(b, p, t, sh, s, c, L)
         return (0, 0, 0, 0)
 
     sc_rows = k_scales.shape[2]
     o = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(max_seqs, max_pages),
             in_specs=[
                 pl.BlockSpec((1, n_kv, rows_pad, d_pad), q_idx),
@@ -454,8 +489,8 @@ def paged_multitoken_decode(
             vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(jnp.asarray(cache.page_tables), starts, counts.astype(jnp.int32),
-      cache.lengths.astype(jnp.int32),
+    )(jnp.asarray(cache.page_tables), offset, starts, counts.astype(jnp.int32),
+      glob_len.astype(jnp.int32),
       qg, cache.k_pages, k_scales, cache.v_pages, v_scales)[0]
 
     o = o[:, :, :rows].reshape(max_seqs, n_kv, g, gamma, d_pad)[..., :d]

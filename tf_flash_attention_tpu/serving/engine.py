@@ -59,6 +59,9 @@ class EngineConfig:
     # paged prefill kernel (bounded step latency; enables prefix caching).
     # "bucketed": whole prompt in one padded pass through the training
     # kernel (legacy path, kept as a cross-check).
+    # With kv_quant_dtype="int4", keep prefill_chunk a multiple of 256 (or
+    # of page_size) so chunk KV writes stay on the aliased-kernel fast
+    # path — misaligned chunks fall back to the XLA scatter spec.
     prefill_mode: str = "chunked"
     prefill_chunk: int = 128
     prefix_caching: bool = True  # chunked mode only
@@ -159,6 +162,13 @@ class DecodeEngine:
         self._decode_step = self._compile(self._decode_step_impl, n_out_scalars=1)
         self._spec_step = self._compile(self._spec_step_impl, n_out_scalars=2)
         self.spec_stats = {"proposed": 0, "accepted": 0}
+        # serving observability: cumulative counters + page high-water mark
+        # (the role the reference's benchmark harness plays for the op
+        # library — tests/test_base.py:86-90 peak-memory reporting — here
+        # as a production metrics surface)
+        self.stats = {"steps": 0, "decode_tokens": 0, "prefill_chunks": 0,
+                      "prefill_tokens": 0, "admitted": 0, "retired": 0,
+                      "pages_in_use_peak": 0, "pages_evicted": 0}
         self._prefill = {
             b: jax.jit(functools.partial(self._prefill_impl, b))
             for b in engine_cfg.prefill_buckets
@@ -466,6 +476,8 @@ class DecodeEngine:
         start, last_logits = cached_tokens, None
         while start < len(prompt):
             n = min(chunk, len(prompt) - start)
+            self.stats["prefill_chunks"] += 1
+            self.stats["prefill_tokens"] += n
             toks = prompt[start:start + n] + [0] * (chunk - n)
             last_logits, self.caches = self._chunk_prefill(
                 self.params, self.caches,
@@ -480,6 +492,7 @@ class DecodeEngine:
 
     def _admit(self):
         for req, slot in self.scheduler.admit():
+            self.stats["admitted"] += 1
             prompt = self._prompts.pop(req.rid)
             if self.ecfg.prefill_mode == "chunked":
                 last_logits = self._prefill_chunked(prompt, slot)
@@ -551,11 +564,13 @@ class DecodeEngine:
                 self.allocator.release_prefix(slot, n)
                 st["evicted"] = st.get("evicted", 0) + n
                 st["refunded"] = st.get("refunded", 0) + n
+                self.stats["pages_evicted"] += n
                 self.scheduler.refund(n)
 
     def _retire(self):
         for slot, st in enumerate(self._slots):
             if st is not None and st["remaining"] <= 0:
+                self.stats["retired"] += 1
                 self.allocator.free(slot)
                 self.scheduler.release(
                     slot, st["reserved"] - st.get("refunded", 0))
@@ -595,6 +610,10 @@ class DecodeEngine:
         if self.num_active == 0:
             return 0
         self._ensure_capacity(gamma)
+        self.stats["steps"] += 1
+        self.stats["pages_in_use_peak"] = max(
+            self.stats["pages_in_use_peak"],
+            (self.ecfg.n_pages - 1) - self.allocator.free_pages)
         S = self.ecfg.max_seqs
         tok_mat = np.zeros((S, gamma), np.int64)
         for slot, st in enumerate(self._slots):
@@ -647,6 +666,7 @@ class DecodeEngine:
             st["length"] += n_emit
             st["remaining"] -= n_emit
             produced += n_emit
+        self.stats["decode_tokens"] += produced
         for i in range(len(self.caches)):
             # one buffer per layer: a shared array would be donated twice
             # by the next step's jit
@@ -668,6 +688,10 @@ class DecodeEngine:
         if self.num_active == 0:
             return 0
         self._ensure_capacity()
+        self.stats["steps"] += 1
+        self.stats["pages_in_use_peak"] = max(
+            self.stats["pages_in_use_peak"],
+            (self.ecfg.n_pages - 1) - self.allocator.free_pages)
         tokens = jnp.asarray(
             [st["last"] if st else 0 for st in self._slots], jnp.int32)
         active = jnp.asarray([st is not None for st in self._slots])
@@ -694,6 +718,7 @@ class DecodeEngine:
             if st["eos_id"] is not None and tok == st["eos_id"]:
                 st["remaining"] = 0
             produced += 1
+        self.stats["decode_tokens"] += produced
         self._retire()
         self._evict_window_pages()
         return produced

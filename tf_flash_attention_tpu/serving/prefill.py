@@ -49,9 +49,7 @@ __all__ = ["paged_prefill_attention"]
 def _prefill_kernel(
     tables_ref, meta_ref,                         # scalar prefetch
     q_ref, k_ref, ks_ref, v_ref, vs_ref,          # inputs
-    o_ref,                                        # output
-    acc_ref, m_scratch, l_scratch,                # scratch
-    *,
+    *refs,                                        # outputs + scratch
     n_kv: int,
     chunk: int,
     page_size: int,
@@ -59,8 +57,17 @@ def _prefill_kernel(
     quantized: bool,
     pack: int = 1,
     rule: MaskRule = CausalRule(),
+    return_lm: bool = False,
+    page_stride: int = 1,
 ):
-    # meta = [slot, page_count, total_len, start, first_live_page]
+    # meta = [slot, LOCAL page_count, GLOBAL total_len, GLOBAL start,
+    #         first_live LOCAL page, shard page offset]
+    # sequence sharding: local page j holds global page j*stride + offset
+    if return_lm:
+        o_ref, l_ref, m_ref, acc_ref, m_scratch, l_scratch = refs
+    else:
+        o_ref, acc_ref, m_scratch, l_scratch = refs
+        l_ref = m_ref = None
     p = pl.program_id(0)
     page_rows = page_size // pack
 
@@ -72,6 +79,7 @@ def _prefill_kernel(
 
     # page stream starts at the rule's first live page (skip-before-load)
     lp = meta_ref[4] + p
+    gp = lp * page_stride + meta_ref[5]           # global page index
 
     @pl.when(p < meta_ref[1] - meta_ref[4])
     def _compute():
@@ -144,15 +152,15 @@ def _prefill_kernel(
         # kv_pos < start <= q_pos <= total.  A LocalRule additionally
         # requires the page inside the *oldest* row's window (and a
         # strided rule masks per element, so it never has interiors).
-        interior = (lp + 1) * page_size <= start
+        interior = (gp + 1) * page_size <= start
         if isinstance(rule, LocalRule):
             if rule.log2_stride_size:
-                interior = interior & (lp != lp)  # never
+                interior = interior & (gp != gp)  # never
             else:
                 # the page's oldest key must be inside the *newest* row's
-                # window: (start+chunk-1) - lp*page <= window - 1
+                # window: (start+chunk-1) - gp*page <= window - 1
                 interior = interior & (
-                    lp * page_size >= start + chunk - rule.strided_window_size)
+                    gp * page_size >= start + chunk - rule.strided_window_size)
 
         @pl.when(interior)
         def _interior():
@@ -166,7 +174,7 @@ def _prefill_kernel(
                 jnp.int32, (1, q_ref.shape[2], 1), 1) % chunk
             masked = []
             for s, vh, nib in parts:
-                kv_pos = (lp * page_size + nib) + pack * jax.lax.broadcasted_iota(
+                kv_pos = (gp * page_size + nib) + pack * jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, page_rows), 2)
                 mask = (kv_pos < total) & _rule_visible(rule, q_pos, kv_pos)
                 masked.append([jnp.where(mask, s, NEG_INF_F32), vh, nib])
@@ -177,6 +185,10 @@ def _prefill_kernel(
         l_col = l_scratch[:, :, :1]
         l_safe = jnp.where(l_col == 0.0, 1.0, l_col)
         o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        if return_lm:
+            # per-row softmax statistics for cross-shard merging
+            l_ref[0] = l_scratch[...]
+            m_ref[0] = m_scratch[...]
 
 
 def paged_prefill_attention(
@@ -189,6 +201,9 @@ def paged_prefill_attention(
     *,
     scale: Optional[float] = None,
     rule: MaskRule = CausalRule(),
+    returning_l_m: bool = False,
+    page_stride: int = 1,
+    page_offset=None,
     interpret: Optional[bool] = None,
 ):
     """Causal attention of a prompt chunk against one sequence's paged cache.
@@ -224,13 +239,22 @@ def paged_prefill_attention(
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, d_pad - d)))[None]
 
     total = jnp.asarray(start, jnp.int32) + jnp.asarray(true_len, jnp.int32)
-    count = -(-total // cfg.page_size)
+    offset = (jnp.asarray(0, jnp.int32) if page_offset is None
+              else jnp.asarray(page_offset, jnp.int32))
+    n_global = -(-total // cfg.page_size)
+    if page_stride == 1:
+        count = n_global
+    else:
+        # local pages on this shard: global pages g with g % stride == offset
+        count = jnp.where(n_global > offset,
+                          (n_global - offset + page_stride - 1) // page_stride, 0)
     first_live = _first_live_page(
-        rule, jnp.asarray(start, jnp.int32) + 1, 1, cfg.page_size)
+        rule, jnp.asarray(start, jnp.int32) + 1, 1, cfg.page_size,
+        page_stride, offset)
     meta = jnp.stack([
         jnp.asarray(slot, jnp.int32), count.astype(jnp.int32),
         total.astype(jnp.int32), jnp.asarray(start, jnp.int32),
-        first_live.astype(jnp.int32)])
+        first_live.astype(jnp.int32), offset])
 
     max_pages = cfg.max_pages_per_seq
     quantized = cfg.quantized
@@ -253,6 +277,8 @@ def paged_prefill_attention(
         quantized=quantized,
         pack=pack,
         rule=rule,
+        return_lm=returning_l_m,
+        page_stride=page_stride,
     )
 
     k_scales = cache.k_scales
@@ -268,7 +294,13 @@ def paged_prefill_attention(
 
     sc_rows = k_scales.shape[2]
     rows = g * chunk
-    o = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((1, n_kv, rows, d_pad), q.dtype)]
+    out_specs = [pl.BlockSpec((1, n_kv, rows, d_pad), q_idx)]
+    if returning_l_m:
+        lm_shape = jax.ShapeDtypeStruct((1, n_kv, rows, LANE), jnp.float32)
+        out_shape += [lm_shape, lm_shape]
+        out_specs += [pl.BlockSpec((1, n_kv, rows, LANE), q_idx)] * 2
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -280,21 +312,29 @@ def paged_prefill_attention(
                 pl.BlockSpec((n_kv, 1, page_rows, d_pad), page_idx),
                 pl.BlockSpec((n_kv, 1, sc_rows, page_rows), scales_idx),
             ],
-            out_specs=[pl.BlockSpec((1, n_kv, rows, d_pad), q_idx)],
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((n_kv, rows, d_pad), jnp.float32),
                 pltpu.VMEM((n_kv, rows, LANE), jnp.float32),
                 pltpu.VMEM((n_kv, rows, LANE), jnp.float32),
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((1, n_kv, rows, d_pad), q.dtype)],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
     )(jnp.asarray(cache.page_tables), meta,
-      qg, cache.k_pages, k_scales, cache.v_pages, v_scales)[0]
+      qg, cache.k_pages, k_scales, cache.v_pages, v_scales)
 
-    o = o[0].reshape(n_kv, g, chunk, d_pad)[..., :d]        # (n_kv, g, chunk, d)
-    return jnp.transpose(o, (2, 0, 1, 3)).reshape(chunk, n_q_heads, d)
+    def chunkify(x, dd):
+        x = x[0].reshape(n_kv, g, chunk, -1)[..., :dd]      # (n_kv, g, chunk, dd)
+        return jnp.transpose(x, (2, 0, 1, 3)).reshape(chunk, n_q_heads, dd)
+
+    o = chunkify(outs[0], d)
+    if returning_l_m:
+        l = chunkify(outs[1], 1)[..., 0]                    # (chunk, n_q_heads)
+        m = chunkify(outs[2], 1)[..., 0]
+        return o, l, m
+    return o

@@ -19,12 +19,13 @@ of a sequence lives on shard ``g % n_shards`` at local logical index
 
 * load balance: a growing sequence's pages spread evenly, so every chip
   scans ~``ctx / n_shards`` tokens per step;
-* the *local* page stream of every shard is a dense prefix of full pages
-  (plus one growing tail page on the owner shard), so the unmodified
-  decode kernel's ``token_pos < local_length`` causal bound is exactly
-  right — no global-position arithmetic reaches the kernel.  (This is
-  also why v1 supports Full/Causal rules only: a LocalRule window is
-  defined on global positions, which round-robin placement hides.)
+* the *local* page stream of every shard stays dense (full pages plus one
+  growing tail page on the tail's owner), so local page counts drive the
+  grid while the kernels reconstruct **global** token positions from the
+  placement (``global page = local page * n_shards + shard``, the
+  ``page_stride``/``page_offset`` kernel arguments) — masking rules,
+  including LocalRule windows with their skip-before-load page pruning,
+  apply unchanged across shards.
 
 Appends route to the single owner shard of the written position via the
 batched-append kernel's ``active`` mask (inactive shards write their
@@ -43,12 +44,14 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..mask_rules import CausalRule, LocalRule, MaskRule
+from ..mask_rules import CausalRule, MaskRule
 from .decode import paged_decode_attention
 from .kv_cache import KVCacheConfig, PagedKVCache, append_tokens_batched, write_prompt
+from .prefill import paged_prefill_attention
 
 __all__ = ["create_seq_sharded_cache", "write_prompt_seq_sharded",
-           "seq_sharded_paged_decode", "seq_sharded_append"]
+           "seq_sharded_paged_decode", "seq_sharded_paged_prefill",
+           "seq_sharded_append"]
 
 
 def _shard_pspec(cfg: KVCacheConfig, axis: str) -> PagedKVCache:
@@ -116,6 +119,16 @@ def write_prompt_seq_sharded(cache: PagedKVCache, cfg: KVCacheConfig,
         stacked, specs, is_leaf=lambda x: x is None)
 
 
+def _merge_partials(o, l, m, axis):
+    """Exact cross-shard online-softmax merge (base-2 domain, as in the
+    kernels): the reference's (m, l, O) merge applied across chips."""
+    m_star = jax.lax.pmax(m, axis)
+    w = l * jnp.exp2(m - m_star)              # 0 for shards with no keys
+    num = jax.lax.psum(o.astype(jnp.float32) * w[..., None], axis)
+    den = jax.lax.psum(w, axis)[..., None]
+    return num / jnp.where(den == 0.0, 1.0, den)
+
+
 def seq_sharded_paged_decode(mesh: Mesh, cfg: KVCacheConfig, axis: str,
                              *, scale: Optional[float] = None,
                              rule: MaskRule = CausalRule(),
@@ -123,31 +136,59 @@ def seq_sharded_paged_decode(mesh: Mesh, cfg: KVCacheConfig, axis: str,
     """Build ``fn(q, cache) -> o``: context-parallel decode over ``axis``.
 
     ``q`` replicated (max_seqs, n_q_heads, d); ``cache`` from
-    ``create_seq_sharded_cache``/``write_prompt_seq_sharded``.
+    ``create_seq_sharded_cache``/``write_prompt_seq_sharded``.  Window
+    rules work: the kernel masks on global positions (page stride/offset)
+    and each shard skips its pages below the window before any load.
     """
-    if isinstance(rule, LocalRule):
-        raise NotImplementedError(
-            "sequence-sharded decode supports Full/Causal rules; a window "
-            "rule needs global positions, which round-robin placement hides")
+    n = int(mesh.shape[axis])
     cache_specs = _shard_pspec(cfg, axis)
 
     def local_fn(q, cache):
         local = jax.tree.map(lambda x: x[0] if x is not None else None,
                              cache, is_leaf=lambda x: x is None)
+        glob_len = jax.lax.psum(local.lengths, axis)
         o, l, m = paged_decode_attention(
             q, local, cfg, scale=scale, rule=rule, returning_l_m=True,
-            interpret=interpret)
-        # exact cross-shard online merge (base-2 domain, as in the kernel)
-        m_star = jax.lax.pmax(m, axis)
-        w = l * jnp.exp2(m - m_star)          # 0 for shards with no keys
-        num = jax.lax.psum(o.astype(jnp.float32) * w[..., None], axis)
-        den = jax.lax.psum(w, axis)[..., None]
-        return (num / jnp.where(den == 0.0, 1.0, den)).astype(q.dtype)
+            page_stride=n, page_offset=jax.lax.axis_index(axis),
+            global_lengths=glob_len, interpret=interpret)
+        return _merge_partials(o, l, m, axis).astype(q.dtype)
 
     return jax.jit(
         shard_map(
             local_fn, mesh=mesh,
             in_specs=(P(), cache_specs),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
+def seq_sharded_paged_prefill(mesh: Mesh, cfg: KVCacheConfig, axis: str,
+                              *, scale: Optional[float] = None,
+                              rule: MaskRule = CausalRule(),
+                              interpret: Optional[bool] = None):
+    """Build ``fn(q, cache, slot, start, true_len) -> o``: context-parallel
+    chunked prefill — every chip scans its own pages for the whole chunk
+    and the per-row partials merge with one psum, so long-prompt prefill
+    compute AND bandwidth scale with the slice.  The chunk's K/V must
+    already be written (round-robin, like the rest of the cache).
+    """
+    n = int(mesh.shape[axis])
+    cache_specs = _shard_pspec(cfg, axis)
+
+    def local_fn(q, cache, slot, start, true_len):
+        local = jax.tree.map(lambda x: x[0] if x is not None else None,
+                             cache, is_leaf=lambda x: x is None)
+        o, l, m = paged_prefill_attention(
+            q, local, cfg, slot, start, true_len, scale=scale, rule=rule,
+            returning_l_m=True, page_stride=n,
+            page_offset=jax.lax.axis_index(axis), interpret=interpret)
+        return _merge_partials(o, l, m, axis).astype(q.dtype)
+
+    return jax.jit(
+        shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(), cache_specs, P(), P(), P()),
             out_specs=P(),
             check_vma=False,
         )

@@ -834,9 +834,9 @@ def test_engine_sliding_window_page_eviction():
 
     assert results[rid] == greedy_dense_w(prompt, n_new)
 
-    # back-to-back long requests keep admitting (budget refunds work):
-    # pages_needed(46 tokens) = 6 of 9 budget pages, so the second request
-    # can only ever admit if the first refunded some budget mid-flight
+    # back-to-back long requests keep admitting: window slots reserve only
+    # their capped live set (not full-length pages), so the second request
+    # fits the budget even while the first generates
     eng2 = DecodeEngine(mcfg, params, ecfg)
     r1 = eng2.submit(prompt, max_new_tokens=n_new)
     r2 = eng2.submit(prompt, max_new_tokens=n_new)
@@ -1065,3 +1065,80 @@ def test_serving_rule_fuzz():
         tol = 2e-2 if cfg.quantized else 3e-5
         err = np.abs(np.asarray(o[0]) - ref).max()
         assert err < tol, (it, ps, t, rule, err)
+
+
+def test_engine_rolling_table_unbounded_generation():
+    """Sliding-window model generates far beyond max_pages_per_seq * page
+    (the logical page table wraps; dead below-window entries are reused)
+    with exact dense-greedy parity throughout."""
+    from tf_flash_attention_tpu.mask_rules import LocalRule
+
+    w, ps = 8, 8
+    mcfg = dataclasses.replace(
+        MCFG, rule=LocalRule(window_size=w, is_causal=True))
+    params = init_params(mcfg, jax.random.PRNGKey(0))
+    # table holds 5 logical pages = 40 tokens; we run to ~70
+    ecfg = EngineConfig(max_seqs=1, page_size=ps, n_pages=12,
+                        max_pages_per_seq=5, quantized_kv=False,
+                        prefill_mode="chunked", prefill_chunk=8,
+                        prefix_caching=False)
+    eng = DecodeEngine(mcfg, params, ecfg)
+    prompt = [1, 2, 3, 4, 5, 6]
+    n_new = 64
+    rid = eng.submit(prompt, max_new_tokens=n_new)
+    results = eng.run(max_steps=100)
+
+    def greedy_dense_w(prompt, n_new):
+        toks = list(prompt)
+        for _ in range(n_new):
+            logits = forward(mcfg, params, jnp.asarray([toks], jnp.int32))
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        return toks
+
+    assert results[rid] == greedy_dense_w(prompt, n_new)
+    assert eng.allocator.free_pages == ecfg.n_pages - 1
+
+
+def test_engine_long_prompt_lazy_paging():
+    """A prompt longer than the table (and most of physical memory) prefills
+    lazily under a window rule: pages map per chunk and evict behind the
+    window, so peak usage stays window+chunk-bounded."""
+    from tf_flash_attention_tpu.mask_rules import LocalRule
+
+    w, ps = 8, 8
+    mcfg = dataclasses.replace(
+        MCFG, rule=LocalRule(window_size=w, is_causal=True))
+    params = init_params(mcfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_seqs=1, page_size=ps, n_pages=8,
+                        max_pages_per_seq=6, quantized_kv=False,
+                        prefill_mode="chunked", prefill_chunk=8,
+                        prefix_caching=False)
+    eng = DecodeEngine(mcfg, params, ecfg)
+    # 90-token prompt = 12 logical pages > 7 physical > 6 table entries
+    prompt = [(i * 13 + 5) % MCFG.vocab for i in range(90)]
+    rid = eng.submit(prompt, max_new_tokens=4)
+    results = eng.run(max_steps=30)
+
+    def greedy_dense_w(prompt, n_new):
+        toks = list(prompt)
+        for _ in range(n_new):
+            logits = forward(mcfg, params, jnp.asarray([toks], jnp.int32))
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        return toks
+
+    assert results[rid] == greedy_dense_w(prompt, 4)
+    assert eng.stats["pages_evicted"] >= 9  # prompt pages evicted in flight
+
+
+def test_engine_overflow_without_window_raises():
+    """A causal (non-window) sequence that outgrows max_pages_per_seq fails
+    loudly instead of silently corrupting the table."""
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_seqs=1, page_size=8, n_pages=16,
+                        max_pages_per_seq=2, quantized_kv=False,
+                        prefill_mode="chunked", prefill_chunk=8,
+                        prefix_caching=False)
+    eng = DecodeEngine(MCFG, params, ecfg)
+    eng.submit([1, 2, 3, 4, 5, 6], max_new_tokens=20)
+    with pytest.raises(RuntimeError, match="max_pages_per_seq"):
+        eng.run(max_steps=40)

@@ -213,6 +213,17 @@ void fa_sched_enqueue(void* h, int64_t rid, int64_t prompt_len,
   s->queue.emplace_back(rid, pages);
 }
 
+// Like fa_sched_enqueue with a cap on the pages reserved (sliding-window
+// models hold a window-bounded live page set; mirrors Request.pages_cap).
+void fa_sched_enqueue_capped(void* h, int64_t rid, int64_t prompt_len,
+                             int64_t max_new_tokens, int64_t pages_cap) {
+  auto* s = static_cast<NativeScheduler*>(h);
+  const int64_t total = prompt_len + max_new_tokens;
+  int64_t pages = (total + s->page_size - 1) / s->page_size;
+  if (pages_cap >= 0 && pages_cap < pages) pages = pages_cap;
+  s->queue.emplace_back(rid, pages);
+}
+
 int64_t fa_sched_queued(void* h) {
   return static_cast<NativeScheduler*>(h)->queue.size();
 }

@@ -48,6 +48,7 @@ def _configure(lib):
     lib.fa_sched_create.argtypes = [i32, i64, i32]
     lib.fa_sched_destroy.argtypes = [ctypes.c_void_p]
     lib.fa_sched_enqueue.argtypes = [ctypes.c_void_p, i64, i64, i64]
+    lib.fa_sched_enqueue_capped.argtypes = [ctypes.c_void_p, i64, i64, i64, i64]
     lib.fa_sched_queued.restype = i64
     lib.fa_sched_queued.argtypes = [ctypes.c_void_p]
     lib.fa_sched_admit.restype = i32
@@ -170,8 +171,10 @@ class NativeScheduler:
         self._h = lib.fa_sched_create(max_seqs, n_pages, page_size)
         self._max_seqs = max_seqs
 
-    def enqueue(self, rid: int, prompt_len: int, max_new_tokens: int) -> None:
-        self._lib.fa_sched_enqueue(self._h, rid, prompt_len, max_new_tokens)
+    def enqueue(self, rid: int, prompt_len: int, max_new_tokens: int,
+                pages_cap: int = -1) -> None:
+        self._lib.fa_sched_enqueue_capped(
+            self._h, rid, prompt_len, max_new_tokens, pages_cap)
 
     @property
     def queued(self) -> int:

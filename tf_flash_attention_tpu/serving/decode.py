@@ -300,7 +300,8 @@ def paged_decode_attention(
 
     def page_idx(b, p, t, sh, s, c, L):
         lp = jnp.maximum(0, jnp.minimum(s[b] + p, c[b] - 1))
-        return (0, t[b, lp], 0, 0)
+        # rolling table: logical pages wrap modulo the table width
+        return (0, t[b, lp % max_pages], 0, 0)
 
     def q_idx(b, p, t, sh, s, c, L):
         return (b, 0, 0, 0)
@@ -434,7 +435,8 @@ def paged_multitoken_decode(
 
     def page_idx(b, p, t, sh, s, c, L):
         lp = jnp.maximum(0, jnp.minimum(s[b] + p, c[b] - 1))
-        return (0, t[b, lp], 0, 0)
+        # rolling table: logical pages wrap modulo the table width
+        return (0, t[b, lp % max_pages], 0, 0)
 
     def q_idx(b, p, t, sh, s, c, L):
         return (b, 0, 0, 0)

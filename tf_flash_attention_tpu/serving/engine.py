@@ -152,6 +152,24 @@ class DecodeEngine:
             PrefixCache(engine_cfg.page_size)
             if engine_cfg.prefix_caching and engine_cfg.prefill_mode == "chunked"
             else None)
+        # sliding-window models: lazy prompt paging + eviction keep the
+        # live page set window-bounded (rolling page table), so admission
+        # reserves only the capped page count.  The prefix registry cannot
+        # retain evicted prompt pages, so window models run without it.
+        self._window = (model_cfg.rule.strided_window_size
+                        if isinstance(model_cfg.rule, LocalRule) else None)
+        if self._window is not None:
+            self.prefix_cache = None
+            gamma = max(1, engine_cfg.speculative_tokens + 1)
+            span = self._window + gamma + engine_cfg.prefill_chunk
+            self._pages_cap = -(-span // engine_cfg.page_size) + 2
+            if self._pages_cap > engine_cfg.max_pages_per_seq:
+                raise ValueError(
+                    f"max_pages_per_seq={engine_cfg.max_pages_per_seq} too "
+                    f"small for the window's live set ({self._pages_cap} "
+                    f"pages: window {self._window} + chunk/gamma)")
+        else:
+            self._pages_cap = -1
         self.scheduler = Scheduler(engine_cfg.max_seqs, engine_cfg.n_pages - 1,
                                    engine_cfg.page_size)
         self._slots: List[Optional[dict]] = [None] * engine_cfg.max_seqs
@@ -418,7 +436,8 @@ class DecodeEngine:
                eos_id: Optional[int] = None) -> int:
         rid = self._next_rid
         self._next_rid += 1
-        self.scheduler.enqueue(Request(rid, len(prompt), max_new_tokens))
+        self.scheduler.enqueue(Request(rid, len(prompt), max_new_tokens,
+                                       pages_cap=self._pages_cap))
         self._results[rid] = list(prompt)
         self._prompts[rid] = list(prompt)
         self._sampling[rid] = (sampling, eos_id)
@@ -453,8 +472,17 @@ class DecodeEngine:
 
     def _prefill_chunked(self, prompt: List[int], slot: int):
         """Chunked prefill against the paged cache, reusing any cached
-        page-aligned prefix (shared refcounted pages)."""
+        page-aligned prefix (shared refcounted pages).  Returns
+        ``(last_logits, pages_evicted, budget_refunded)``.
+
+        Sliding-window models page the prompt *lazily* (pages map just
+        before the chunk that writes them) and evict pages below the
+        window after every chunk, so an arbitrarily long prompt holds only
+        window + chunk pages at once — the rolling-page-table analog of a
+        Mistral-style rolling buffer, on paged storage.
+        """
         ps = self.ecfg.page_size
+        mp = self.ecfg.max_pages_per_seq
         n_prompt_pages = -(-len(prompt) // ps)
         cached_tokens, cached_pages = 0, []
         if self.prefix_cache is not None:
@@ -463,19 +491,35 @@ class DecodeEngine:
                 prompt, max_tokens=len(prompt) - 1)
         if cached_pages:
             self.allocator.share(slot, cached_pages)
-        fresh = self._alloc_pages(slot, n_prompt_pages - len(cached_pages))
-        pages = list(cached_pages) + fresh
-        for i in range(len(self.caches)):
-            c = self.caches[i]
-            self.caches[i] = dataclasses.replace(
-                c,
-                page_tables=c.page_tables.at[slot, :n_prompt_pages].set(
-                    jnp.asarray(pages, jnp.int32)),
-                lengths=c.lengths.at[slot].set(cached_tokens))
+        lazy = self._window is not None
+        if not lazy:
+            fresh = self._alloc_pages(slot, n_prompt_pages - len(cached_pages))
+            pages = list(cached_pages) + fresh
+            for i in range(len(self.caches)):
+                c = self.caches[i]
+                self.caches[i] = dataclasses.replace(
+                    c,
+                    page_tables=c.page_tables.at[slot, :n_prompt_pages].set(
+                        jnp.asarray(pages, jnp.int32)),
+                    lengths=c.lengths.at[slot].set(cached_tokens))
+        else:
+            for i in range(len(self.caches)):
+                self.caches[i] = dataclasses.replace(
+                    self.caches[i],
+                    lengths=self.caches[i].lengths.at[slot].set(0))
         chunk = self.ecfg.prefill_chunk
         start, last_logits = cached_tokens, None
+        mapped_hi, evicted, refunded = -1, 0, 0
         while start < len(prompt):
             n = min(chunk, len(prompt) - start)
+            if lazy:
+                last_needed = (start + n - 1) // ps
+                for logical in range(mapped_hi + 1, last_needed + 1):
+                    page = self._alloc_pages(slot, 1)[0]
+                    for i in range(len(self.caches)):
+                        self.caches[i] = assign_page(
+                            self.caches[i], slot, logical % mp, page)
+                mapped_hi = max(mapped_hi, last_needed)
             self.stats["prefill_chunks"] += 1
             self.stats["prefill_tokens"] += n
             toks = prompt[start:start + n] + [0] * (chunk - n)
@@ -486,18 +530,28 @@ class DecodeEngine:
                 jnp.asarray(start, jnp.int32),
                 jnp.asarray(n, jnp.int32))
             start += n
+            if lazy:
+                keep_from = max(0, start - (self._window - 1)) // ps
+                nrel = keep_from - evicted
+                if nrel > 0:
+                    # physical pages recycle inside the slot's capped
+                    # reservation; no scheduler refund (see _evict_window_pages)
+                    self.allocator.release_prefix(slot, nrel)
+                    evicted += nrel
+                    self.stats["pages_evicted"] += nrel
         if self.prefix_cache is not None:
             self.prefix_cache.insert(prompt, pages, self.allocator)
-        return last_logits
+        return last_logits, evicted, refunded
 
     def _admit(self):
         for req, slot in self.scheduler.admit():
             self.stats["admitted"] += 1
             prompt = self._prompts.pop(req.rid)
             if self.ecfg.prefill_mode == "chunked":
-                last_logits = self._prefill_chunked(prompt, slot)
+                last_logits, ev, ref = self._prefill_chunked(prompt, slot)
             else:
                 last_logits = self._prefill_bucketed(prompt, slot)
+                ev = ref = 0
             sp, eos_id = self._sampling.pop(req.rid, (SamplingParams(), None))
             if sp.temperature > 0:
                 first_tok = int(self._sample1(
@@ -520,6 +574,9 @@ class DecodeEngine:
                 # exact amount to hand back at retirement (shared prefix
                 # pages make the allocator's owned-count the wrong number)
                 "reserved": req.pages_needed(self.ecfg.page_size),
+                # sliding-window bookkeeping primed by prefill-time eviction
+                "evicted": ev,
+                "refunded": ref,
             }
             if eos_id is not None and first_tok == eos_id:
                 self._slots[slot]["remaining"] = 0
@@ -535,10 +592,17 @@ class DecodeEngine:
             length = st["length"]
             first_unmapped = length // ps + (1 if length % ps else 0)
             last_needed = (length + n_tokens - 1) // ps
+            mp = self.ecfg.max_pages_per_seq
+            if self._window is None and last_needed >= mp:
+                raise RuntimeError(
+                    f"sequence needs logical page {last_needed} but "
+                    f"max_pages_per_seq={mp}; only sliding-window models "
+                    f"(ModelConfig.rule = LocalRule) roll the page table")
             for logical in range(first_unmapped, last_needed + 1):
                 page = self._alloc_pages(slot, 1)[0]
                 for i in range(len(self.caches)):
-                    self.caches[i] = assign_page(self.caches[i], slot, logical, page)
+                    self.caches[i] = assign_page(
+                        self.caches[i], slot, logical % mp, page)
 
     def _evict_window_pages(self):
         """Sliding-window page eviction: with a LocalRule, pages entirely
@@ -563,9 +627,12 @@ class DecodeEngine:
             if n > 0:
                 self.allocator.release_prefix(slot, n)
                 st["evicted"] = st.get("evicted", 0) + n
-                st["refunded"] = st.get("refunded", 0) + n
                 self.stats["pages_evicted"] += n
-                self.scheduler.refund(n)
+                if self._pages_cap < 0:
+                    # uncapped slot: its reservation covered every page, so
+                    # early releases hand budget back
+                    st["refunded"] = st.get("refunded", 0) + n
+                    self.scheduler.refund(n)
 
     def _retire(self):
         for slot, st in enumerate(self._slots):

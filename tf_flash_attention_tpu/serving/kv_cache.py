@@ -187,7 +187,7 @@ def append_token(cache: PagedKVCache, cfg: KVCacheConfig, slot, k_new, v_new) ->
     k_new = _pad_feature(k_new, cfg.head_dim_store)
     v_new = _pad_feature(v_new, cfg.head_dim_store)
     length = cache.lengths[slot]
-    logical_page = length // cfg.page_size
+    logical_page = (length // cfg.page_size) % cfg.max_pages_per_seq
     offset = length % cfg.page_size
     page = cache.page_tables[slot, logical_page]
     n_kv, d_store = cfg.n_kv_heads, cfg.head_dim_store
@@ -336,9 +336,12 @@ def _chunk_write_via_kernel(cache, cfg, slot, start, total, trash_page,
     else:
         k_scales_in, v_scales_in = cache.k_scales, cache.v_scales
 
+    # logical pages wrap modulo the table width (rolling table): for
+    # bounded-length sequences the modulo is the identity; with a window
+    # rule the engine reuses table slots of pages below the window
     def page_idx(i, tables, meta):
         off_tok = meta[1] + i * rows_block
-        logical = jnp.minimum(off_tok // page_size, max_pages - 1)
+        logical = (off_tok // page_size) % max_pages
         phys = jnp.where(off_tok < meta[2], tables[meta[0], logical], meta[3])
         return (0, phys, (off_tok % page_size) // rows_block, 0)
 
@@ -346,7 +349,7 @@ def _chunk_write_via_kernel(cache, cfg, slot, start, total, trash_page,
         if not quantized:
             return (0, 0, 0, 0)
         off_tok = meta[1] + i * rows_block
-        logical = jnp.minimum(off_tok // page_size, max_pages - 1)
+        logical = (off_tok // page_size) % max_pages
         phys = jnp.where(off_tok < meta[2], tables[meta[0], logical], meta[3])
         return (0, phys, 0, (off_tok % page_size) // rows_block)
 
@@ -451,7 +454,7 @@ def write_tokens_at(cache: PagedKVCache, cfg: KVCacheConfig, slot, start,
         raise ValueError("int4 chunked writes must start at even positions")
     pos = jnp.asarray(start, jnp.int32) + jnp.arange(chunk, dtype=jnp.int32)
     valid = jnp.arange(chunk) < true_len
-    logical = jnp.minimum(pos // cfg.page_size, cfg.max_pages_per_seq - 1)
+    logical = (pos // cfg.page_size) % cfg.max_pages_per_seq
     phys = cache.page_tables[slot, logical]
     phys = jnp.where(valid, phys, trash_page)
     offset = pos % cfg.page_size
@@ -643,7 +646,7 @@ def append_tokens_batched(cache: PagedKVCache, cfg: KVCacheConfig,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     lengths = cache.lengths
-    logical = lengths // cfg.page_size
+    logical = (lengths // cfg.page_size) % cfg.max_pages_per_seq
     offset = lengths % cfg.page_size
     phys = jnp.take_along_axis(cache.page_tables, logical[:, None], axis=1)[:, 0]
     phys = jnp.where(active, phys, trash_page)

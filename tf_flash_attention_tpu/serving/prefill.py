@@ -263,7 +263,8 @@ def paged_prefill_attention(
 
     def page_idx(p, t, m):
         lp = jnp.maximum(0, jnp.minimum(m[4] + p, m[1] - 1))
-        return (0, t[m[0], lp], 0, 0)
+        # rolling table: logical pages wrap modulo the table width
+        return (0, t[m[0], lp % max_pages], 0, 0)
 
     def q_idx(p, t, m):
         return (0, 0, 0, 0)

@@ -23,10 +23,15 @@ class Request:
     rid: int
     prompt_len: int
     max_new_tokens: int
+    # upper bound on pages the request can hold at once; set by the engine
+    # for sliding-window models (lazy paging + eviction keep the live set
+    # window-bounded, so admission need not reserve full-length pages)
+    pages_cap: int = -1
 
     def pages_needed(self, page_size: int) -> int:
         total = self.prompt_len + self.max_new_tokens
-        return -(-total // page_size)
+        pages = -(-total // page_size)
+        return min(pages, self.pages_cap) if self.pages_cap >= 0 else pages
 
 
 class Scheduler:

@@ -98,6 +98,28 @@ def virtual(n_devices=8):
         t((1, 2, 512, 32)), t((1, 2, 512, 32)), t((1, 2, 512, 32)))
     print(f"  ring attention (8-way context): out {o.shape} ok")
 
+    # context-parallel serving: KV pages round-robin over 4 shards,
+    # per-chip paged decode/prefill partials merged by one psum
+    from tf_flash_attention_tpu.serving.kv_cache import (
+        KVCacheConfig, PageAllocator)
+    from tf_flash_attention_tpu.serving.seq_sharded_decode import (
+        create_seq_sharded_cache, seq_sharded_paged_decode,
+        seq_sharded_paged_prefill, write_prompt_seq_sharded)
+    n_cp = 4
+    mesh_s = make_mesh((n_cp,), ("seq",), jax.devices()[:n_cp])
+    ccfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=32, n_pages=8,
+                         max_seqs=2, max_pages_per_seq=6, quantized=True)
+    sc = create_seq_sharded_cache(ccfg, mesh_s, "seq")
+    allocs = [PageAllocator(ccfg.n_pages - 1) for _ in range(n_cp)]
+    kk, vv = t((2, 200, 32)), t((2, 200, 32))
+    sc = write_prompt_seq_sharded(sc, ccfg, mesh_s, "seq", 0,
+                                  [a.alloc(0, 2) for a in allocs], kk, vv)
+    o = seq_sharded_paged_decode(mesh_s, ccfg, "seq")(t((2, 4, 32)), sc)
+    print(f"  sequence-sharded paged decode (4-way): out {o.shape} ok")
+    o = seq_sharded_paged_prefill(mesh_s, ccfg, "seq")(
+        t((8, 4, 32)), sc, jnp.asarray(0), jnp.asarray(192), jnp.asarray(8))
+    print(f"  sequence-sharded paged prefill (4-way): out {o.shape} ok")
+
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()

@@ -1142,3 +1142,92 @@ def test_engine_overflow_without_window_raises():
     eng.submit([1, 2, 3, 4, 5, 6], max_new_tokens=20)
     with pytest.raises(RuntimeError, match="max_pages_per_seq"):
         eng.run(max_steps=40)
+
+
+def test_write_tokens_at_seq_sharded_matches_prompt_write():
+    """Chunked CP writes (page_stride/page_offset) produce byte-identical
+    shard contents to the bulk round-robin prompt write."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    from tf_flash_attention_tpu.parallel.mesh import make_mesh
+    from tf_flash_attention_tpu.serving.kv_cache import write_tokens_at
+    from tf_flash_attention_tpu.serving.seq_sharded_decode import (
+        create_seq_sharded_cache, write_prompt_seq_sharded)
+
+    rng = np.random.default_rng(51)
+    n, ps = 4, 32
+    mesh = make_mesh((n,), ("seq",), jax.devices()[:n])
+    cfg = KVCacheConfig(n_kv_heads=2, head_dim=32, page_size=ps, n_pages=8,
+                        max_seqs=1, max_pages_per_seq=4, quantized=True)
+    t = 7 * ps + 9
+    k = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, t, 32)), jnp.float32)
+
+    ref = create_seq_sharded_cache(cfg, mesh, "seq")
+    allocs = [PageAllocator(cfg.n_pages - 1) for _ in range(n)]
+    per_shard = [a.alloc(0, 2) for a in allocs]
+    ref = write_prompt_seq_sharded(ref, cfg, mesh, "seq", 0, per_shard, k, v)
+
+    # per-shard chunked writes with the same physical pages
+    chunk = 64
+    for r in range(n):
+        local = PagedKVCache.create(cfg)
+        local = dataclasses.replace(
+            local, page_tables=local.page_tables.at[0, :2].set(
+                jnp.asarray(per_shard[r], jnp.int32)))
+        start = 0
+        while start < t:
+            m = min(chunk, t - start)
+            kc = jnp.pad(k[:, start:start + m], ((0, 0), (0, chunk - m), (0, 0)))
+            vc = jnp.pad(v[:, start:start + m], ((0, 0), (0, chunk - m), (0, 0)))
+            local = write_tokens_at(local, cfg, 0, start, kc, vc, m,
+                                    trash_page=cfg.n_pages - 1,
+                                    page_stride=n, page_offset=r)
+            start += m
+        # compare the allocated pages only (trash-page contents are
+        # garbage by design: non-owned tokens route there)
+        for p in per_shard[r]:
+            np.testing.assert_array_equal(np.asarray(local.k_pages[:, p]),
+                                          np.asarray(ref.k_pages[r, :, p]))
+            np.testing.assert_array_equal(np.asarray(local.k_scales[:, p]),
+                                          np.asarray(ref.k_scales[r, :, p]))
+            np.testing.assert_array_equal(np.asarray(local.v_pages[:, p]),
+                                          np.asarray(ref.v_pages[r, :, p]))
+        assert int(local.lengths[0]) == int(ref.lengths[r, 0])
+
+
+def test_engine_context_parallel_matches_dense_greedy():
+    """Context-parallel engine (KV pages round-robin over a seq axis, CP
+    step functions under shard_map) produces exactly the single-chip
+    greedy tokens — through chunked prefill, decode appends crossing shard
+    boundaries, and speculation."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    from tf_flash_attention_tpu.parallel.mesh import make_mesh
+
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    mesh = make_mesh((4,), ("seq",), jax.devices()[:4])
+    ecfg = EngineConfig(max_seqs=2, page_size=16, n_pages=8,
+                        max_pages_per_seq=4, quantized_kv=True,
+                        prefill_mode="chunked", prefill_chunk=16,
+                        prefix_caching=False)
+    eng = DecodeEngine(MCFG, params, ecfg, mesh=mesh)
+    assert eng.cp == 4
+    # prompts long enough that pages land on several shards; generations
+    # cross page (and thus shard-owner) boundaries
+    prompts = [[(i * 7 + 1) % MCFG.vocab for i in range(40)], [7, 8, 9]]
+    rids = [eng.submit(p, max_new_tokens=10) for p in prompts]
+    results = eng.run(max_steps=50)
+    for rid, prompt in zip(rids, prompts):
+        want = greedy_dense(params, prompt, 10)
+        assert results[rid] == want, (results[rid], want)
+
+    # speculative + context parallel
+    eng2 = DecodeEngine(MCFG, params,
+                        dataclasses.replace(ecfg, speculative_tokens=3),
+                        mesh=mesh)
+    prompt = [5, 9, 5, 9, 5, 9, 5, 9, 5]
+    rid = eng2.submit(prompt, max_new_tokens=12)
+    res = eng2.run(max_steps=40)
+    assert res[rid] == greedy_dense(params, prompt, 12)
+    assert eng2.spec_stats["accepted"] > 0

@@ -382,6 +382,7 @@ def paged_multitoken_decode(
     *,
     scale: Optional[float] = None,
     rule: MaskRule = CausalRule(),
+    returning_l_m: bool = False,
     page_stride: int = 1,
     page_offset=None,
     global_lengths=None,
@@ -451,6 +452,7 @@ def paged_multitoken_decode(
         pack=pack,
         gamma=gamma,
         rule=rule,
+        return_lm=returning_l_m,
         page_stride=page_stride,
     )
 
@@ -466,7 +468,13 @@ def paged_multitoken_decode(
         return (0, 0, 0, 0)
 
     sc_rows = k_scales.shape[2]
-    o = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((max_seqs, n_kv, rows_pad, d_pad), q.dtype)]
+    out_specs = [pl.BlockSpec((1, n_kv, rows_pad, d_pad), q_idx)]
+    if returning_l_m:
+        lm_shape = jax.ShapeDtypeStruct((max_seqs, n_kv, rows_pad, LANE), jnp.float32)
+        out_shape += [lm_shape, lm_shape]
+        out_specs += [pl.BlockSpec((1, n_kv, rows_pad, LANE), q_idx)] * 2
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
@@ -478,14 +486,14 @@ def paged_multitoken_decode(
                 pl.BlockSpec((n_kv, 1, page_rows, d_pad), page_idx),
                 pl.BlockSpec((n_kv, 1, sc_rows, page_rows), scales_idx),
             ],
-            out_specs=[pl.BlockSpec((1, n_kv, rows_pad, d_pad), q_idx)],
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((n_kv, rows_pad, d_pad), jnp.float32),
                 pltpu.VMEM((n_kv, rows_pad, LANE), jnp.float32),
                 pltpu.VMEM((n_kv, rows_pad, LANE), jnp.float32),
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((max_seqs, n_kv, rows_pad, d_pad), q.dtype)],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=VMEM_LIMIT,
@@ -493,7 +501,16 @@ def paged_multitoken_decode(
         interpret=interpret,
     )(jnp.asarray(cache.page_tables), offset, starts, counts.astype(jnp.int32),
       glob_len.astype(jnp.int32),
-      qg, cache.k_pages, k_scales, cache.v_pages, v_scales)[0]
+      qg, cache.k_pages, k_scales, cache.v_pages, v_scales)
 
-    o = o[:, :, :rows].reshape(max_seqs, n_kv, g, gamma, d_pad)[..., :d]
-    return jnp.transpose(o, (0, 3, 1, 2, 4)).reshape(max_seqs, gamma, n_q_heads, d)
+    def rowsplit(x, dd):
+        x = x[:, :, :rows].reshape(max_seqs, n_kv, g, gamma, -1)[..., :dd]
+        return jnp.transpose(x, (0, 3, 1, 2, 4)).reshape(
+            max_seqs, gamma, n_q_heads, dd)
+
+    o = rowsplit(outs[0], d)
+    if returning_l_m:
+        l = rowsplit(outs[1], 1)[..., 0]     # (max_seqs, gamma, n_q_heads)
+        m = rowsplit(outs[2], 1)[..., 0]
+        return o, l, m
+    return o

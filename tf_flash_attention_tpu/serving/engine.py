@@ -36,6 +36,7 @@ from .kv_cache import (
     write_tokens_at,
 )
 from .prefill import paged_prefill_attention
+from .seq_sharded_decode import _merge_partials
 from .prefix_cache import PrefixCache, SharedPageAllocator
 from .sampling import SamplingParams, sample_tokens
 from .scheduler import Request, Scheduler
@@ -93,29 +94,44 @@ def _rope_at(x, pos, theta):
 
 
 class DecodeEngine:
-    """Continuous-batching engine; optionally tensor-parallel.
+    """Continuous-batching engine; optionally tensor- or context-parallel.
 
-    With ``mesh`` (a mesh containing a ``model`` axis), parameters are
-    sharded Megatron-style (wq/wk/wv/w1/w3 column, wo/w2 row), the paged
-    KV cache is sharded on its head axis (each chip holds its head
-    shard's pages AND their INT8 scales — zero collectives inside
-    attention), and every compiled step runs under ``shard_map`` with one
-    ``psum`` per projection.  Across hosts the same specs span processes
-    via ``jax.distributed`` — axis placement is the only control surface
+    Tensor parallel — ``mesh`` with a ``model`` axis: parameters shard
+    Megatron-style (wq/wk/wv/w1/w3 column, wo/w2 row), the paged KV cache
+    shards on its head axis (each chip holds its head shard's pages AND
+    their INT8 scales — zero collectives inside attention), and every
+    compiled step runs under ``shard_map`` with one ``psum`` per
+    projection.  Across hosts the same specs span processes via
+    ``jax.distributed`` — axis placement is the only control surface
     (BASELINE north star: heads+cache sharded over a v5e-16 slice).
+
+    Context parallel — ``mesh`` with a ``seq`` axis: KV pages place
+    round-robin across chips (``n_pages`` is per shard), every chip scans
+    only its own pages in decode/prefill, and the per-row ``(o, l, m)``
+    partials merge with one tiny ``psum`` per layer — context capacity
+    and attention bandwidth both scale with the slice.  Writes route to
+    each position's owner shard inside the compiled steps (chunk writes
+    trash non-owned pages; appends use the owner mask).  Composes with
+    chunked prefill and speculative decoding; exact greedy parity with
+    the single-chip engine.
     """
 
     def __init__(self, model_cfg: ModelConfig, params, engine_cfg: EngineConfig = EngineConfig(),
-                 interpret: Optional[bool] = None, mesh=None, model_axis: str = "model"):
+                 interpret: Optional[bool] = None, mesh=None, model_axis: str = "model",
+                 seq_axis: str = "seq"):
         self.mcfg = model_cfg
         self.ecfg = engine_cfg
         self.params = params
         self.interpret = (jax.default_backend() not in ("tpu",)) if interpret is None else interpret
 
         self.mesh = mesh
-        tp = int(mesh.shape[model_axis]) if mesh is not None else 1
+        axes = dict(mesh.shape) if mesh is not None else {}
+        tp = int(axes.get(model_axis, 1))
+        cp = int(axes.get(seq_axis, 1))
         self._tp_axis = model_axis if tp > 1 else None
         self.tp = tp
+        self.cp = cp
+        self._seq_axis = seq_axis if cp > 1 else None
         if tp > 1:
             if model_cfg.n_heads % tp or model_cfg.n_kv_heads % tp:
                 raise ValueError(
@@ -125,6 +141,21 @@ class DecodeEngine:
                 raise ValueError("tensor-parallel engine does not support MoE")
             if engine_cfg.prefill_mode != "chunked":
                 raise ValueError("tensor-parallel engine requires chunked prefill")
+        if cp > 1:
+            # context-parallel serving: KV pages round-robin over seq_axis,
+            # every chip scans its own pages, partials merge by one psum
+            if tp > 1:
+                raise ValueError("engine supports tp or cp, not both (yet)")
+            if model_cfg.n_experts:
+                raise ValueError("context-parallel engine does not support MoE")
+            if engine_cfg.prefill_mode != "chunked":
+                raise ValueError("context-parallel engine requires chunked prefill")
+            if isinstance(model_cfg.rule, LocalRule):
+                raise ValueError("context-parallel engine supports causal "
+                                 "models (window eviction/rolling tables do "
+                                 "not compose with CP yet)")
+            if engine_cfg.speculative_tokens and engine_cfg.page_size <= engine_cfg.speculative_tokens:
+                raise ValueError("page_size must exceed speculative_tokens")
         self._n_heads_loc = model_cfg.n_heads // tp
         self._n_kv_loc = model_cfg.n_kv_heads // tp
 
@@ -142,15 +173,27 @@ class DecodeEngine:
         self._ccfg_loc = (dataclasses.replace(self.ccfg, n_kv_heads=self._n_kv_loc)
                           if tp > 1 else self.ccfg)
         self.trash_page = engine_cfg.n_pages - 1
-        self.caches: List[PagedKVCache] = [
-            PagedKVCache.create(self.ccfg) for _ in range(model_cfg.n_layers)
-        ]
-        if tp > 1:
-            self._shard_state()
-        self.allocator = SharedPageAllocator(engine_cfg.n_pages - 1)  # exclude trash
+        if cp > 1:
+            from .seq_sharded_decode import create_seq_sharded_cache
+            self.caches: List[PagedKVCache] = [
+                create_seq_sharded_cache(self.ccfg, mesh, seq_axis)
+                for _ in range(model_cfg.n_layers)]
+            # one physical-page allocator per shard (n_pages is PER SHARD)
+            self.allocators = [SharedPageAllocator(engine_cfg.n_pages - 1)
+                               for _ in range(cp)]
+            self.allocator = self.allocators[0]
+        else:
+            self.caches = [
+                PagedKVCache.create(self.ccfg) for _ in range(model_cfg.n_layers)
+            ]
+            if tp > 1:
+                self._shard_state()
+            self.allocator = SharedPageAllocator(engine_cfg.n_pages - 1)  # exclude trash
+            self.allocators = [self.allocator]
         self.prefix_cache = (
             PrefixCache(engine_cfg.page_size)
             if engine_cfg.prefix_caching and engine_cfg.prefill_mode == "chunked"
+            and cp == 1
             else None)
         # sliding-window models: lazy prompt paging + eviction keep the
         # live page set window-bounded (rolling page table), so admission
@@ -170,7 +213,8 @@ class DecodeEngine:
                     f"pages: window {self._window} + chunk/gamma)")
         else:
             self._pages_cap = -1
-        self.scheduler = Scheduler(engine_cfg.max_seqs, engine_cfg.n_pages - 1,
+        self.scheduler = Scheduler(engine_cfg.max_seqs,
+                                   cp * (engine_cfg.n_pages - 1),
                                    engine_cfg.page_size)
         self._slots: List[Optional[dict]] = [None] * engine_cfg.max_seqs
         self._next_rid = 0
@@ -237,16 +281,40 @@ class DecodeEngine:
         cache_sh = jax.tree.map(ns, self._cache_pspec(), is_leaf=is_p)
         self.caches = [jax.device_put(c, cache_sh) for c in self.caches]
 
+    def _cp_cache_pspec(self):
+        from jax.sharding import PartitionSpec as P
+        lead = P(self._seq_axis)
+        return PagedKVCache(
+            k_pages=lead, v_pages=lead,
+            k_scales=lead if self.ccfg.quantized else None,
+            v_scales=lead if self.ccfg.quantized else None,
+            page_tables=lead, lengths=lead)
+
+    @staticmethod
+    def _strip(cache):
+        """Per-shard view inside shard_map: drop the size-1 shard dim."""
+        return jax.tree.map(lambda x: x[0] if x is not None else None,
+                            cache, is_leaf=lambda x: x is None)
+
+    @staticmethod
+    def _unstrip(cache):
+        return jax.tree.map(lambda x: x[None] if x is not None else None,
+                            cache, is_leaf=lambda x: x is None)
+
     def _compile(self, impl, n_out_scalars: int):
-        """jit (single chip) or jit(shard_map) (tensor parallel) a step
-        function of signature (params, caches, *scalars) -> (*outs, caches)."""
-        if self._tp_axis is None:
+        """jit (single chip) or jit(shard_map) (tensor or context parallel)
+        a step function (params, caches, *scalars) -> (*outs, caches)."""
+        if self._tp_axis is None and self._seq_axis is None:
             return jax.jit(impl, donate_argnums=(1,))
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        pspec = self._param_pspec()
-        cspec = [self._cache_pspec()] * self.mcfg.n_layers
+        if self._tp_axis is not None:
+            pspec = self._param_pspec()
+            cspec = [self._cache_pspec()] * self.mcfg.n_layers
+        else:
+            pspec = jax.tree.map(lambda _: P(), self.params)
+            cspec = [self._cp_cache_pspec()] * self.mcfg.n_layers
 
         def wrapped(params, caches, *rest):
             return impl(params, caches, *rest)
@@ -336,7 +404,11 @@ class DecodeEngine:
         cache (which may hold a shared cached prefix).  ``slot``/``start``/
         ``true_len`` are traced, so this compiles once."""
         cfg = self.mcfg
+        ax = self._seq_axis
         chunk = tokens.shape[0]
+        if ax is not None:
+            caches = [self._strip(c) for c in caches]
+            me = jax.lax.axis_index(ax)
         pos = jnp.asarray(start, jnp.int32) + jnp.arange(chunk, dtype=jnp.int32)
         x = params["embed"].astype(cfg.dtype)[tokens]          # (chunk, d_model)
         new_caches = []
@@ -347,13 +419,27 @@ class DecodeEngine:
             v = (h @ layer["wv"].astype(h.dtype)).reshape(chunk, self._n_kv_loc, cfg.d_head)
             q = _rope_at(q, pos, cfg.rope_theta)
             k = _rope_at(k, pos, cfg.rope_theta)
-            cache = write_tokens_at(
-                cache, self._ccfg_loc, slot, start,
-                jnp.swapaxes(k, 0, 1), jnp.swapaxes(v, 0, 1),
-                true_len, self.trash_page, interpret=self.interpret)
-            o = paged_prefill_attention(
-                q, cache, self._ccfg_loc, slot, start, true_len,
-                rule=cfg.rule, interpret=self.interpret)
+            if ax is not None:
+                cache = write_tokens_at(
+                    cache, self._ccfg_loc, slot, start,
+                    jnp.swapaxes(k, 0, 1), jnp.swapaxes(v, 0, 1),
+                    true_len, self.trash_page,
+                    page_stride=self.cp, page_offset=me,
+                    interpret=self.interpret)
+                o, l, m = paged_prefill_attention(
+                    q, cache, self._ccfg_loc, slot, start, true_len,
+                    rule=cfg.rule, returning_l_m=True,
+                    page_stride=self.cp, page_offset=me,
+                    interpret=self.interpret)
+                o = _merge_partials(o, l, m, ax).astype(x.dtype)
+            else:
+                cache = write_tokens_at(
+                    cache, self._ccfg_loc, slot, start,
+                    jnp.swapaxes(k, 0, 1), jnp.swapaxes(v, 0, 1),
+                    true_len, self.trash_page, interpret=self.interpret)
+                o = paged_prefill_attention(
+                    q, cache, self._ccfg_loc, slot, start, true_len,
+                    rule=cfg.rule, interpret=self.interpret)
             x = self._attn_out(layer, x, o.reshape(chunk, -1))
             x = self._mlp(layer, x)
             new_caches.append(cache)
@@ -361,6 +447,8 @@ class DecodeEngine:
         logits = x @ params["embed"].astype(x.dtype).T         # (chunk, vocab)
         last = jax.lax.dynamic_index_in_dim(
             logits, jnp.asarray(true_len, jnp.int32) - 1, axis=0, keepdims=False)
+        if ax is not None:
+            new_caches = [self._unstrip(c) for c in new_caches]
         return last, new_caches
 
     def _decode_step_impl(self, params, caches, tokens, active,
@@ -369,7 +457,14 @@ class DecodeEngine:
         ``temps/top_ks/top_ps`` carry per-slot sampling parameters
         (continuous batching mixes greedy and sampled requests)."""
         cfg = self.mcfg
-        pos = caches[0].lengths  # positions of the new tokens
+        ax = self._seq_axis
+        if ax is not None:
+            caches = [self._strip(c) for c in caches]
+            glob = jax.lax.psum(caches[0].lengths, ax)
+            pos = glob
+            me = jax.lax.axis_index(ax)
+        else:
+            pos = caches[0].lengths  # positions of the new tokens
         x = params["embed"].astype(cfg.dtype)[tokens]  # (S, d_model)
         new_caches = []
         for layer, cache in zip(params["layers"], caches):
@@ -380,16 +475,33 @@ class DecodeEngine:
             v = (h @ layer["wv"].astype(h.dtype)).reshape(S, self._n_kv_loc, cfg.d_head)
             q = _rope_at(q, pos, cfg.rope_theta)
             k = _rope_at(k, pos, cfg.rope_theta)
-            cache = append_tokens_batched(cache, self._ccfg_loc, k, v, active,
-                                          self.trash_page, interpret=self.interpret)
-            o = paged_decode_attention(q, cache, self._ccfg_loc,
-                                       rule=cfg.rule, interpret=self.interpret)
+            if ax is not None:
+                # context parallel: the append lands on the owner shard of
+                # the written position; attention partials merge by one psum
+                owner = (glob // self.ecfg.page_size) % self.cp
+                mine = jnp.logical_and(active, owner == me)
+                cache = append_tokens_batched(
+                    cache, self._ccfg_loc, k, v, mine,
+                    self.trash_page, interpret=self.interpret)
+                o, l, m = paged_decode_attention(
+                    q, cache, self._ccfg_loc, rule=cfg.rule,
+                    returning_l_m=True, page_stride=self.cp, page_offset=me,
+                    global_lengths=glob + active.astype(jnp.int32),
+                    interpret=self.interpret)
+                o = _merge_partials(o, l, m, ax).astype(x.dtype)
+            else:
+                cache = append_tokens_batched(cache, self._ccfg_loc, k, v, active,
+                                              self.trash_page, interpret=self.interpret)
+                o = paged_decode_attention(q, cache, self._ccfg_loc,
+                                           rule=cfg.rule, interpret=self.interpret)
             x = self._attn_out(layer, x, o.reshape(S, -1))
             x = self._mlp(layer, x)
             new_caches.append(cache)
         x = _rms_norm(x, params["final_norm"])
         logits = x @ params["embed"].astype(x.dtype).T
         next_tokens = sample_tokens(logits, key, temps, top_ks, top_ps)
+        if ax is not None:
+            new_caches = [self._unstrip(c) for c in new_caches]
         return next_tokens, new_caches
 
     def _spec_step_impl(self, params, caches, tokens, active, key,
@@ -402,8 +514,15 @@ class DecodeEngine:
         — rollback is just a length decrement, since appends are
         positional and later appends overwrite rejected rows in place."""
         cfg = self.mcfg
+        ax = self._seq_axis
         S, gamma = tokens.shape
-        pos0 = caches[0].lengths
+        if ax is not None:
+            caches = [self._strip(c) for c in caches]
+            glob0 = jax.lax.psum(caches[0].lengths, ax)
+            pos0 = glob0
+            me = jax.lax.axis_index(ax)
+        else:
+            pos0 = caches[0].lengths
         pos = pos0[:, None] + jnp.arange(gamma, dtype=jnp.int32)[None, :]
         x = params["embed"].astype(cfg.dtype)[tokens]      # (S, gamma, d_model)
         new_caches = []
@@ -415,11 +534,24 @@ class DecodeEngine:
             q = _rope_at_batch(q, pos, cfg.rope_theta)
             k = _rope_at_batch(k, pos, cfg.rope_theta)
             for i in range(gamma):
+                if ax is not None:
+                    owner = ((pos0 + i) // self.ecfg.page_size) % self.cp
+                    act_i = jnp.logical_and(active, owner == me)
+                else:
+                    act_i = active
                 cache = append_tokens_batched(
-                    cache, self._ccfg_loc, k[:, i], v[:, i], active,
+                    cache, self._ccfg_loc, k[:, i], v[:, i], act_i,
                     self.trash_page, interpret=self.interpret)
-            o = paged_multitoken_decode(q, cache, self._ccfg_loc,
-                                        rule=cfg.rule, interpret=self.interpret)
+            if ax is not None:
+                o, l, m = paged_multitoken_decode(
+                    q, cache, self._ccfg_loc, rule=cfg.rule,
+                    returning_l_m=True, page_stride=self.cp, page_offset=me,
+                    global_lengths=glob0 + gamma * active.astype(jnp.int32),
+                    interpret=self.interpret)
+                o = _merge_partials(o, l, m, ax).astype(x.dtype)
+            else:
+                o = paged_multitoken_decode(q, cache, self._ccfg_loc,
+                                            rule=cfg.rule, interpret=self.interpret)
             x = self._attn_out(layer, x, o.reshape(S, gamma, -1))
             x = self._mlp(layer, x)
             new_caches.append(cache)
@@ -427,6 +559,8 @@ class DecodeEngine:
         logits = x @ params["embed"].astype(x.dtype).T     # (S, gamma, vocab)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         sampled0 = sample_tokens(logits[:, 0], key, temps, top_ks, top_ps)
+        if ax is not None:
+            new_caches = [self._unstrip(c) for c in new_caches]
         return greedy, sampled0, new_caches
 
     # ---- host-side serving loop ----
@@ -464,6 +598,14 @@ class DecodeEngine:
                 k[:, : len(prompt)], v[:, : len(prompt)])
         return last_logits
 
+    def _owned_count(self, total: int, r: int) -> int:
+        """Host mirror of kv_cache._owned_token_count for shard ``r``."""
+        ps = self.ecfg.page_size
+        n_g = total // ps
+        full = max(0, -(-(n_g - r) // self.cp)) if n_g > r else 0
+        tail = total % ps if (n_g % self.cp) == r else 0
+        return full * ps + tail
+
     def _alloc_pages(self, slot: int, n: int):
         """Allocate fresh pages, evicting LRU prefix-cache entries if dry."""
         if (n > self.allocator.free_pages and self.prefix_cache is not None):
@@ -484,6 +626,8 @@ class DecodeEngine:
         ps = self.ecfg.page_size
         mp = self.ecfg.max_pages_per_seq
         n_prompt_pages = -(-len(prompt) // ps)
+        if self.cp > 1:
+            return self._prefill_chunked_cp(prompt, slot)
         cached_tokens, cached_pages = 0, []
         if self.prefix_cache is not None:
             # always leave >= 1 token to prefill so there are logits to sample
@@ -543,6 +687,45 @@ class DecodeEngine:
             self.prefix_cache.insert(prompt, pages, self.allocator)
         return last_logits, evicted, refunded
 
+    def _prefill_chunked_cp(self, prompt: List[int], slot: int):
+        """Context-parallel chunked prefill: each shard maps its round-robin
+        share of the prompt's pages upfront, then every chunk runs the CP
+        step (per-shard writes route non-owned pages to trash; attention
+        partials merge inside the compiled step)."""
+        ps = self.ecfg.page_size
+        mp = self.ecfg.max_pages_per_seq
+        G = -(-len(prompt) // ps)
+        tables = np.array(self.caches[0].page_tables)   # (cp, S, mp)
+        for r in range(self.cp):
+            cnt = len(range(r, G, self.cp))
+            if cnt > mp:
+                raise RuntimeError(
+                    f"prompt needs {cnt} local pages on shard {r} but "
+                    f"max_pages_per_seq={mp}")
+            if cnt:
+                pages_r = self.allocators[r].alloc(slot, cnt)
+                tables[r, slot, :cnt] = pages_r
+        t_dev = jnp.asarray(tables, jnp.int32)
+        for i in range(len(self.caches)):
+            self.caches[i] = dataclasses.replace(
+                self.caches[i], page_tables=t_dev,
+                lengths=self.caches[i].lengths.at[:, slot].set(0))
+        chunk = self.ecfg.prefill_chunk
+        start, last_logits = 0, None
+        while start < len(prompt):
+            n = min(chunk, len(prompt) - start)
+            self.stats["prefill_chunks"] += 1
+            self.stats["prefill_tokens"] += n
+            toks = prompt[start:start + n] + [0] * (chunk - n)
+            last_logits, self.caches = self._chunk_prefill(
+                self.params, self.caches,
+                jnp.asarray(toks, jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(start, jnp.int32),
+                jnp.asarray(n, jnp.int32))
+            start += n
+        return last_logits, 0, 0
+
     def _admit(self):
         for req, slot in self.scheduler.admit():
             self.stats["admitted"] += 1
@@ -593,6 +776,20 @@ class DecodeEngine:
             first_unmapped = length // ps + (1 if length % ps else 0)
             last_needed = (length + n_tokens - 1) // ps
             mp = self.ecfg.max_pages_per_seq
+            if self.cp > 1:
+                for logical in range(first_unmapped, last_needed + 1):
+                    owner, loc = logical % self.cp, logical // self.cp
+                    if loc >= mp:
+                        raise RuntimeError(
+                            f"sequence needs local page {loc} on shard "
+                            f"{owner} but max_pages_per_seq={mp}")
+                    page = self.allocators[owner].alloc(slot, 1)[0]
+                    for i in range(len(self.caches)):
+                        self.caches[i] = dataclasses.replace(
+                            self.caches[i],
+                            page_tables=self.caches[i].page_tables.at[
+                                owner, slot, loc].set(page))
+                continue
             if self._window is None and last_needed >= mp:
                 raise RuntimeError(
                     f"sequence needs logical page {last_needed} but "
@@ -638,14 +835,15 @@ class DecodeEngine:
         for slot, st in enumerate(self._slots):
             if st is not None and st["remaining"] <= 0:
                 self.stats["retired"] += 1
-                self.allocator.free(slot)
+                for alloc in self.allocators:
+                    alloc.free(slot)
                 self.scheduler.release(
                     slot, st["reserved"] - st.get("refunded", 0))
                 # zero the slot length so dead slots skip all pages
                 for i in range(len(self.caches)):
                     self.caches[i] = dataclasses.replace(
                         self.caches[i],
-                        lengths=self.caches[i].lengths.at[slot].set(0))
+                        lengths=self.caches[i].lengths.at[..., slot].set(0))
                 self._slots[slot] = None
 
     @property
@@ -680,7 +878,8 @@ class DecodeEngine:
         self.stats["steps"] += 1
         self.stats["pages_in_use_peak"] = max(
             self.stats["pages_in_use_peak"],
-            (self.ecfg.n_pages - 1) - self.allocator.free_pages)
+            sum((self.ecfg.n_pages - 1) - a.free_pages
+                for a in self.allocators))
         S = self.ecfg.max_seqs
         tok_mat = np.zeros((S, gamma), np.int64)
         for slot, st in enumerate(self._slots):
@@ -704,8 +903,9 @@ class DecodeEngine:
         sampled0 = np.asarray(sampled0)
         produced = 0
         # the device advanced every active slot's length by gamma; roll
-        # back to the committed prefix per slot
-        new_lengths = np.asarray(self.caches[0].lengths).copy()
+        # back to the committed prefix per slot (CP: each shard's local
+        # length is its owned-token count of the committed global length)
+        new_lengths = np.array(self.caches[0].lengths)
         for slot, st in enumerate(self._slots):
             if st is None:
                 continue
@@ -727,7 +927,12 @@ class DecodeEngine:
             n_emit = len(new_toks)
             # committed K/V: 'last' plus the kept drafts (the final emitted
             # token's K/V is appended by the next step)
-            new_lengths[slot] = st["length"] + n_emit
+            if self.cp > 1:
+                for r in range(self.cp):
+                    new_lengths[r, slot] = self._owned_count(
+                        st["length"] + n_emit, r)
+            else:
+                new_lengths[slot] = st["length"] + n_emit
             self._results[st["rid"]].extend(new_toks)
             st["last"] = new_toks[-1]
             st["length"] += n_emit
@@ -758,7 +963,8 @@ class DecodeEngine:
         self.stats["steps"] += 1
         self.stats["pages_in_use_peak"] = max(
             self.stats["pages_in_use_peak"],
-            (self.ecfg.n_pages - 1) - self.allocator.free_pages)
+            sum((self.ecfg.n_pages - 1) - a.free_pages
+                for a in self.allocators))
         tokens = jnp.asarray(
             [st["last"] if st else 0 for st in self._slots], jnp.int32)
         active = jnp.asarray([st is not None for st in self._slots])

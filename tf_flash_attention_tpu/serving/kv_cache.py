@@ -303,8 +303,20 @@ def _chunk_write_kernel(tables_ref, meta_ref,
         vso_ref[...] = vsc_ref[...][:, None]
 
 
+def _owned_token_count(total, page_size, stride, offset):
+    """Tokens in [0, total) on the shard owning every ``stride``-th page
+    starting at ``offset`` (sequence sharding; stride 1 owns everything)."""
+    total = jnp.asarray(total, jnp.int32)
+    if stride == 1:
+        return total
+    n_g = total // page_size
+    full = jnp.where(n_g > offset, (n_g - offset + stride - 1) // stride, 0)
+    tail = jnp.where((n_g % stride) == offset, total % page_size, 0)
+    return full * page_size + tail
+
+
 def _chunk_write_via_kernel(cache, cfg, slot, start, total, trash_page,
-                            kq, ksc, vq, vsc):
+                            kq, ksc, vq, vsc, page_stride=1, page_offset=None):
     """Pallas path for the chunked-prefill KV write.
 
     Requires the engine's alignment invariant (chunks start at multiples
@@ -338,20 +350,31 @@ def _chunk_write_via_kernel(cache, cfg, slot, start, total, trash_page,
 
     # logical pages wrap modulo the table width (rolling table): for
     # bounded-length sequences the modulo is the identity; with a window
-    # rule the engine reuses table slots of pages below the window
+    # rule the engine reuses table slots of pages below the window.
+    # Sequence sharding: this shard owns every page_stride-th global page
+    # starting at meta[4]; row-groups of other shards' pages go to trash.
+    def _phys(tables, meta, off_tok):
+        g = off_tok // page_size
+        if page_stride == 1:
+            logical = g % max_pages
+            own = off_tok < meta[2]
+        else:
+            logical = ((g - meta[4]) // page_stride) % max_pages
+            own = jnp.logical_and(off_tok < meta[2],
+                                  (g % page_stride) == meta[4])
+        return jnp.where(own, tables[meta[0], logical], meta[3])
+
     def page_idx(i, tables, meta):
         off_tok = meta[1] + i * rows_block
-        logical = (off_tok // page_size) % max_pages
-        phys = jnp.where(off_tok < meta[2], tables[meta[0], logical], meta[3])
-        return (0, phys, (off_tok % page_size) // rows_block, 0)
+        return (0, _phys(tables, meta, off_tok),
+                (off_tok % page_size) // rows_block, 0)
 
     def scales_idx(i, tables, meta):
         if not quantized:
             return (0, 0, 0, 0)
         off_tok = meta[1] + i * rows_block
-        logical = (off_tok // page_size) % max_pages
-        phys = jnp.where(off_tok < meta[2], tables[meta[0], logical], meta[3])
-        return (0, phys, 0, (off_tok % page_size) // rows_block)
+        return (0, _phys(tables, meta, off_tok), 0,
+                (off_tok % page_size) // rows_block)
 
     def val_idx(i, tables, meta):
         return (0, i, 0)
@@ -359,9 +382,12 @@ def _chunk_write_via_kernel(cache, cfg, slot, start, total, trash_page,
     def sc_val_idx(i, tables, meta):
         return (0, 0, i)
 
+    offset = (jnp.asarray(0, jnp.int32) if page_offset is None
+              else jnp.asarray(page_offset, jnp.int32))
     meta = jnp.stack([
         jnp.asarray(slot, jnp.int32), jnp.asarray(start, jnp.int32),
-        jnp.asarray(total, jnp.int32), jnp.asarray(trash_page, jnp.int32)])
+        jnp.asarray(total, jnp.int32), jnp.asarray(trash_page, jnp.int32),
+        offset])
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
     page_block = pl.BlockSpec((n_kv, 1, brows, d_store), page_idx)
     scales_block = pl.BlockSpec((n_kv, 1, k_scales_in.shape[2], brows), scales_idx)
@@ -401,6 +427,7 @@ def _chunk_write_via_kernel(cache, cfg, slot, start, total, trash_page,
 def write_tokens_at(cache: PagedKVCache, cfg: KVCacheConfig, slot, start,
                     k: jax.Array, v: jax.Array, true_len,
                     trash_page: int,
+                    page_stride: int = 1, page_offset=None,
                     interpret: Optional[bool] = None) -> PagedKVCache:
     """Write a chunk of tokens at absolute position ``start`` (chunked prefill).
 
@@ -410,6 +437,11 @@ def write_tokens_at(cache: PagedKVCache, cfg: KVCacheConfig, slot, start,
     the reserved ``trash_page`` so the scatter stays branch-free and never
     touches unassigned pages.  The slot's length becomes
     ``start + true_len``.
+
+    Sequence sharding: with ``page_stride``/``page_offset`` this cache
+    holds every ``page_stride``-th global page starting at ``page_offset``
+    — tokens of other shards' pages route to the trash page and the
+    slot's (local) length becomes its owned-token count.
 
     On TPU, when the engine's chunk/page alignment holds, the write goes
     through an aliased block-copy Pallas kernel; the XLA-scatter path
@@ -443,18 +475,29 @@ def write_tokens_at(cache: PagedKVCache, cfg: KVCacheConfig, slot, start,
         vq, vsc = quant(v)
         total = jnp.asarray(start, jnp.int32) + jnp.asarray(true_len, jnp.int32)
         k_pages, k_scales, v_pages, v_scales = _chunk_write_via_kernel(
-            cache, cfg, slot, start, total, trash_page, kq, ksc, vq, vsc)
+            cache, cfg, slot, start, total, trash_page, kq, ksc, vq, vsc,
+            page_stride=page_stride, page_offset=page_offset)
+        loc_len = _owned_token_count(
+            total, page, page_stride,
+            0 if page_offset is None else jnp.asarray(page_offset, jnp.int32))
         return dataclasses.replace(
             cache,
             k_pages=k_pages, v_pages=v_pages,
             k_scales=k_scales, v_scales=v_scales,
-            lengths=cache.lengths.at[slot].set(total),
+            lengths=cache.lengths.at[slot].set(loc_len),
         )
     if pack == 2 and jnp.ndim(start) == 0 and isinstance(start, int) and start % 2:
         raise ValueError("int4 chunked writes must start at even positions")
     pos = jnp.asarray(start, jnp.int32) + jnp.arange(chunk, dtype=jnp.int32)
     valid = jnp.arange(chunk) < true_len
-    logical = (pos // cfg.page_size) % cfg.max_pages_per_seq
+    poff = (jnp.asarray(0, jnp.int32) if page_offset is None
+            else jnp.asarray(page_offset, jnp.int32))
+    g = pos // cfg.page_size
+    if page_stride == 1:
+        logical = g % cfg.max_pages_per_seq
+    else:
+        logical = ((g - poff) // page_stride) % cfg.max_pages_per_seq
+        valid = jnp.logical_and(valid, (g % page_stride) == poff)
     phys = cache.page_tables[slot, logical]
     phys = jnp.where(valid, phys, trash_page)
     offset = pos % cfg.page_size
@@ -484,12 +527,13 @@ def write_tokens_at(cache: PagedKVCache, cfg: KVCacheConfig, slot, start,
 
     k_pages, k_scales = scatter(cache.k_pages, cache.k_scales, k)
     v_pages, v_scales = scatter(cache.v_pages, cache.v_scales, v)
+    total = jnp.asarray(start, jnp.int32) + jnp.asarray(true_len, jnp.int32)
+    loc_len = _owned_token_count(total, cfg.page_size, page_stride, poff)
     return dataclasses.replace(
         cache,
         k_pages=k_pages, v_pages=v_pages,
         k_scales=k_scales, v_scales=v_scales,
-        lengths=cache.lengths.at[slot].set(
-            jnp.asarray(start, jnp.int32) + jnp.asarray(true_len, jnp.int32)),
+        lengths=cache.lengths.at[slot].set(loc_len),
     )
 
 

@@ -1231,3 +1231,34 @@ def test_engine_context_parallel_matches_dense_greedy():
     res = eng2.run(max_steps=40)
     assert res[rid] == greedy_dense(params, prompt, 12)
     assert eng2.spec_stats["accepted"] > 0
+
+
+def test_engine_tp_x_cp_matches_dense_greedy():
+    """2D serving mesh (model x seq): heads sharded AND pages sharded —
+    exact single-chip greedy through prefill, decode, speculation."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from tf_flash_attention_tpu.parallel.mesh import make_mesh
+
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    mesh = make_mesh((2, 4), ("model", "seq"), jax.devices()[:8])
+    ecfg = EngineConfig(max_seqs=2, page_size=16, n_pages=8,
+                        max_pages_per_seq=4, quantized_kv=True,
+                        prefill_mode="chunked", prefill_chunk=16,
+                        prefix_caching=False)
+    eng = DecodeEngine(MCFG, params, ecfg, mesh=mesh)
+    assert eng.tp == 2 and eng.cp == 4
+    prompts = [[(i * 7 + 1) % MCFG.vocab for i in range(40)], [7, 8, 9]]
+    rids = [eng.submit(p, max_new_tokens=10) for p in prompts]
+    results = eng.run(max_steps=50)
+    for rid, prompt in zip(rids, prompts):
+        want = greedy_dense(params, prompt, 10)
+        assert results[rid] == want, (results[rid], want)
+
+    eng2 = DecodeEngine(MCFG, params,
+                        dataclasses.replace(ecfg, speculative_tokens=2),
+                        mesh=mesh)
+    prompt = [5, 9, 5, 9, 5, 9, 5]
+    rid = eng2.submit(prompt, max_new_tokens=8)
+    res = eng2.run(max_steps=30)
+    assert res[rid] == greedy_dense(params, prompt, 8)

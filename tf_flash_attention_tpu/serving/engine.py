@@ -143,9 +143,10 @@ class DecodeEngine:
                 raise ValueError("tensor-parallel engine requires chunked prefill")
         if cp > 1:
             # context-parallel serving: KV pages round-robin over seq_axis,
-            # every chip scans its own pages, partials merge by one psum
-            if tp > 1:
-                raise ValueError("engine supports tp or cp, not both (yet)")
+            # every chip scans its own pages, partials merge by one psum.
+            # Composes with tensor parallelism: a (model x seq) mesh shards
+            # heads AND pages (the v5e-16 serving topology scaled out in
+            # context).
             if model_cfg.n_experts:
                 raise ValueError("context-parallel engine does not support MoE")
             if engine_cfg.prefill_mode != "chunked":
@@ -176,9 +177,21 @@ class DecodeEngine:
         if cp > 1:
             from .seq_sharded_decode import create_seq_sharded_cache
             self.caches: List[PagedKVCache] = [
-                create_seq_sharded_cache(self.ccfg, mesh, seq_axis)
+                create_seq_sharded_cache(
+                    self.ccfg, mesh, seq_axis,
+                    head_axis=model_axis if tp > 1 else None)
                 for _ in range(model_cfg.n_layers)]
-            # one physical-page allocator per shard (n_pages is PER SHARD)
+            if tp > 1:
+                # Megatron param placement (cache is already sharded)
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                ns = lambda spec: NamedSharding(mesh, spec)
+                self.params = jax.device_put(
+                    self.params,
+                    jax.tree.map(ns, self._param_pspec(),
+                                 is_leaf=lambda x: isinstance(x, P)))
+            # one physical-page allocator per SEQ shard (n_pages is per
+            # shard; head shards share their seq shard's page tables)
             self.allocators = [SharedPageAllocator(engine_cfg.n_pages - 1)
                                for _ in range(cp)]
             self.allocator = self.allocators[0]
@@ -283,11 +296,12 @@ class DecodeEngine:
 
     def _cp_cache_pspec(self):
         from jax.sharding import PartitionSpec as P
+        pages = P(self._seq_axis, self._tp_axis)   # head dim over model axis
         lead = P(self._seq_axis)
         return PagedKVCache(
-            k_pages=lead, v_pages=lead,
-            k_scales=lead if self.ccfg.quantized else None,
-            v_scales=lead if self.ccfg.quantized else None,
+            k_pages=pages, v_pages=pages,
+            k_scales=pages if self.ccfg.quantized else None,
+            v_scales=pages if self.ccfg.quantized else None,
             page_tables=lead, lengths=lead)
 
     @staticmethod
@@ -309,12 +323,13 @@ class DecodeEngine:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        if self._tp_axis is not None:
+        if self._seq_axis is not None:
+            pspec = (self._param_pspec() if self._tp_axis is not None
+                     else jax.tree.map(lambda _: P(), self.params))
+            cspec = [self._cp_cache_pspec()] * self.mcfg.n_layers
+        else:
             pspec = self._param_pspec()
             cspec = [self._cache_pspec()] * self.mcfg.n_layers
-        else:
-            pspec = jax.tree.map(lambda _: P(), self.params)
-            cspec = [self._cp_cache_pspec()] * self.mcfg.n_layers
 
         def wrapped(params, caches, *rest):
             return impl(params, caches, *rest)

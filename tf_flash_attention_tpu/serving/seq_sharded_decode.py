@@ -54,25 +54,31 @@ __all__ = ["create_seq_sharded_cache", "write_prompt_seq_sharded",
            "seq_sharded_append"]
 
 
-def _shard_pspec(cfg: KVCacheConfig, axis: str) -> PagedKVCache:
+def _shard_pspec(cfg: KVCacheConfig, axis: str,
+                 head_axis=None) -> PagedKVCache:
+    """Leading dim sharded over ``axis``; optionally the KV-head dim (axis
+    1 of the page/scale arrays) over ``head_axis`` (TP x CP composition).
+    Tables and lengths replicate over the head axis."""
+    pages = P(axis, head_axis)
     lead = P(axis)
     return PagedKVCache(
-        k_pages=lead, v_pages=lead,
-        k_scales=lead if cfg.quantized else None,
-        v_scales=lead if cfg.quantized else None,
+        k_pages=pages, v_pages=pages,
+        k_scales=pages if cfg.quantized else None,
+        v_scales=pages if cfg.quantized else None,
         page_tables=lead, lengths=lead)
 
 
-def create_seq_sharded_cache(cfg: KVCacheConfig, mesh: Mesh, axis: str
-                             ) -> PagedKVCache:
+def create_seq_sharded_cache(cfg: KVCacheConfig, mesh: Mesh, axis: str,
+                             head_axis=None) -> PagedKVCache:
     """A PagedKVCache whose every array gains a leading shard dimension
     sharded over ``axis``.  ``cfg`` describes ONE shard (its ``n_pages``/
-    ``max_pages_per_seq`` are per-shard capacities)."""
+    ``max_pages_per_seq`` are per-shard capacities).  With ``head_axis``
+    the KV-head dim additionally shards over that mesh axis (TP x CP)."""
     n = int(mesh.shape[axis])
     local = PagedKVCache.create(cfg)
     stacked = jax.tree.map(lambda x: np.broadcast_to(
         np.asarray(x)[None], (n,) + x.shape).copy(), local)
-    specs = _shard_pspec(cfg, axis)
+    specs = _shard_pspec(cfg, axis, head_axis)
     return jax.tree.map(
         lambda x, s: None if x is None
         else jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),

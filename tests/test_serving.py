@@ -1262,3 +1262,43 @@ def test_engine_tp_x_cp_matches_dense_greedy():
     rid = eng2.submit(prompt, max_new_tokens=8)
     res = eng2.run(max_steps=30)
     assert res[rid] == greedy_dense(params, prompt, 8)
+
+
+def test_engine_cp_admission_respects_binding_shard():
+    """Round-robin placement puts every sequence's first page on shard 0,
+    so CP admission must budget against the binding shard — six 1-page
+    requests against 3 usable pages per shard queue (and all finish)
+    instead of crashing shard 0's allocator."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    from tf_flash_attention_tpu.parallel.mesh import make_mesh
+
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    mesh = make_mesh((4,), ("seq",), jax.devices()[:4])
+    ecfg = EngineConfig(max_seqs=6, page_size=16, n_pages=4,
+                        max_pages_per_seq=4, quantized_kv=False,
+                        prefill_mode="chunked", prefill_chunk=16,
+                        prefix_caching=False)
+    eng = DecodeEngine(MCFG, params, ecfg, mesh=mesh)
+    rids = [eng.submit([i + 1, i + 2, i + 3], max_new_tokens=4)
+            for i in range(6)]
+    results = eng.run(max_steps=80)
+    assert len(results) == 6
+    for rid in rids:
+        assert len(results[rid]) == 3 + 4
+
+
+def test_engine_noncausal_rule_rejected():
+    from tf_flash_attention_tpu.mask_rules import FullRule, LocalRule
+
+    params = init_params(MCFG, jax.random.PRNGKey(0))
+    for rule in (FullRule(), LocalRule(window_size=8, is_causal=False)):
+        mcfg = dataclasses.replace(MCFG, rule=rule)
+        with pytest.raises(ValueError, match="autoregressive"):
+            DecodeEngine(mcfg, params, EngineConfig(max_seqs=1))
+    # window + bucketed prefill rejected too
+    mcfg = dataclasses.replace(
+        MCFG, rule=LocalRule(window_size=8, is_causal=True))
+    with pytest.raises(ValueError, match="chunked"):
+        DecodeEngine(mcfg, params, EngineConfig(max_seqs=1,
+                                                prefill_mode="bucketed"))

@@ -141,6 +141,18 @@ class DecodeEngine:
                 raise ValueError("tensor-parallel engine does not support MoE")
             if engine_cfg.prefill_mode != "chunked":
                 raise ValueError("tensor-parallel engine requires chunked prefill")
+        rule = model_cfg.rule
+        if not (isinstance(rule, LocalRule) and rule.is_causal
+                or type(rule).__name__ == "CausalRule"):
+            raise ValueError(
+                "the serving engine is autoregressive: ModelConfig.rule must "
+                "be CausalRule or LocalRule(is_causal=True) (the paged "
+                "kernels always enforce left-to-right ordering, so a "
+                "non-causal rule would silently diverge from the model)")
+        if isinstance(rule, LocalRule) and engine_cfg.prefill_mode != "chunked":
+            raise ValueError(
+                "sliding-window models require chunked prefill (lazy paging "
+                "and the rolling page table have no bucketed-path analog)")
         if cp > 1:
             # context-parallel serving: KV pages round-robin over seq_axis,
             # every chip scans its own pages, partials merge by one psum.
@@ -226,8 +238,13 @@ class DecodeEngine:
                     f"pages: window {self._window} + chunk/gamma)")
         else:
             self._pages_cap = -1
+        # budget counts pages on the BINDING shard: round-robin placement
+        # always puts a sequence's global page 0 on shard 0, so shard 0
+        # holds ceil(G/cp) pages of a G-page sequence — the scheduler
+        # budget is per-shard and CP requests reserve that amount (see
+        # submit); cp == 1 degenerates to the plain global budget
         self.scheduler = Scheduler(engine_cfg.max_seqs,
-                                   cp * (engine_cfg.n_pages - 1),
+                                   engine_cfg.n_pages - 1,
                                    engine_cfg.page_size)
         self._slots: List[Optional[dict]] = [None] * engine_cfg.max_seqs
         self._next_rid = 0
@@ -585,8 +602,14 @@ class DecodeEngine:
                eos_id: Optional[int] = None) -> int:
         rid = self._next_rid
         self._next_rid += 1
+        cap = self._pages_cap
+        if self.cp > 1:
+            # reserve the binding (first) shard's share of the pages
+            total = len(prompt) + max_new_tokens
+            g = -(-total // self.ecfg.page_size)
+            cap = -(-g // self.cp)
         self.scheduler.enqueue(Request(rid, len(prompt), max_new_tokens,
-                                       pages_cap=self._pages_cap))
+                                       pages_cap=cap))
         self._results[rid] = list(prompt)
         self._prompts[rid] = list(prompt)
         self._sampling[rid] = (sampling, eos_id)
@@ -614,12 +637,9 @@ class DecodeEngine:
         return last_logits
 
     def _owned_count(self, total: int, r: int) -> int:
-        """Host mirror of kv_cache._owned_token_count for shard ``r``."""
-        ps = self.ecfg.page_size
-        n_g = total // ps
-        full = max(0, -(-(n_g - r) // self.cp)) if n_g > r else 0
-        tail = total % ps if (n_g % self.cp) == r else 0
-        return full * ps + tail
+        """Shard ``r``'s owned-token count (the device formula, on ints)."""
+        from .kv_cache import _owned_token_count
+        return int(_owned_token_count(total, self.ecfg.page_size, self.cp, r))
 
     def _alloc_pages(self, slot: int, n: int):
         """Allocate fresh pages, evicting LRU prefix-cache entries if dry."""
@@ -837,14 +857,13 @@ class DecodeEngine:
             keep_from = max(0, st["length"] - (rule.strided_window_size - 1)) // ps
             n = keep_from - st.get("evicted", 0)
             if n > 0:
+                # physical pages recycle inside the slot's capped
+                # reservation (window slots always reserve their cap, so
+                # no scheduler refund is needed; Scheduler.refund exists
+                # for uncapped admission policies)
                 self.allocator.release_prefix(slot, n)
                 st["evicted"] = st.get("evicted", 0) + n
                 self.stats["pages_evicted"] += n
-                if self._pages_cap < 0:
-                    # uncapped slot: its reservation covered every page, so
-                    # early releases hand budget back
-                    st["refunded"] = st.get("refunded", 0) + n
-                    self.scheduler.refund(n)
 
     def _retire(self):
         for slot, st in enumerate(self._slots):

@@ -756,6 +756,12 @@ def gather_sequence_kv(cache: PagedKVCache, cfg: KVCacheConfig, slot: int,
     exactly the values the decode/prefill kernels reconstruct, so kernel
     outputs can be checked against a dense oracle on these with tight
     tolerances (quantization error cancels out).  Test/debug utility.
+
+    Rolling page tables (sliding-window sequences longer than the table):
+    logical pages wrap modulo the table width, so tokens whose table slot
+    has been reused return the OVERWRITING page's data — only the last
+    window of a wrapped sequence is recoverable (which is all the kernels
+    ever read).
     """
     table = np.asarray(cache.page_tables)[slot]
     L = int(cache.lengths[slot]) if length is None else int(length)
@@ -778,8 +784,9 @@ def gather_sequence_kv(cache: PagedKVCache, cfg: KVCacheConfig, slot: int,
             return pages[:, p].astype(np.float32) * scales[:, p, 0][:, :, None]
         return pages[:, p].astype(np.float32)
 
-    ks = [page_tokens(kp, ksc, int(table[i])) for i in range(n_used)]
-    vs = [page_tokens(vp, vsc, int(table[i])) for i in range(n_used)]
+    mp = cfg.max_pages_per_seq
+    ks = [page_tokens(kp, ksc, int(table[i % mp])) for i in range(n_used)]
+    vs = [page_tokens(vp, vsc, int(table[i % mp])) for i in range(n_used)]
     k = np.concatenate(ks, axis=1)[:, :L, :cfg.head_dim]
     v = np.concatenate(vs, axis=1)[:, :L, :cfg.head_dim]
     return k, v

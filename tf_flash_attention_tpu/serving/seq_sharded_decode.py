@@ -75,15 +75,22 @@ def create_seq_sharded_cache(cfg: KVCacheConfig, mesh: Mesh, axis: str,
     ``max_pages_per_seq`` are per-shard capacities).  With ``head_axis``
     the KV-head dim additionally shards over that mesh axis (TP x CP)."""
     n = int(mesh.shape[axis])
-    local = PagedKVCache.create(cfg)
-    stacked = jax.tree.map(lambda x: np.broadcast_to(
-        np.asarray(x)[None], (n,) + x.shape).copy(), local)
     specs = _shard_pspec(cfg, axis, head_axis)
-    return jax.tree.map(
-        lambda x, s: None if x is None
-        else jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
-        stacked, specs,
-        is_leaf=lambda x: x is None)
+    shardings = jax.tree.map(
+        lambda s: None if s is None else NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: x is None or isinstance(x, P))
+
+    def init():
+        local = PagedKVCache.create(cfg)
+        return jax.tree.map(
+            lambda x: None if x is None
+            else jnp.broadcast_to(x[None], (n,) + x.shape),
+            local, is_leaf=lambda x: x is None)
+
+    # materialize directly with the target sharding: never builds the
+    # n-fold cache on the host (for the workloads CP exists for, the full
+    # cache does not fit one device, let alone host RAM x n)
+    return jax.jit(init, out_shardings=shardings)()
 
 
 def write_prompt_seq_sharded(cache: PagedKVCache, cfg: KVCacheConfig,

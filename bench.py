@@ -43,12 +43,17 @@ def bench_decode():
 
     max_seqs = int(os.environ.get("FA_BENCH_SEQS", 16))
     seq_len = int(os.environ.get("FA_BENCH_CTX", 8192))
-    n_kv, n_q, d, page = 8, 8, 128, 512
+    kvq = os.environ.get("FA_BENCH_KVQ", "int8")   # int8 | int4 | fp8
+    qdtype = {"int8": jnp.int8, "int4": "int4",
+              "fp8": jnp.float8_e4m3fn}[kvq]
+    n_kv, n_q, d = 8, 8, 128
+    # int4's nibble unpack amortises over bigger pages (decode.py header)
+    page = int(os.environ.get("FA_BENCH_PAGE", 1024 if kvq == "int4" else 512))
     pages_per_seq = seq_len // page
     cfg = KVCacheConfig(n_kv_heads=n_kv, head_dim=d, page_size=page,
                         n_pages=max_seqs * pages_per_seq + 1,
                         max_seqs=max_seqs, max_pages_per_seq=pages_per_seq,
-                        quantized=True)
+                        quantized=True, quant_dtype=qdtype)
     cache = PagedKVCache.create(cfg)
     alloc = PageAllocator(cfg.n_pages - 1)
     rng = np.random.default_rng(0)
@@ -62,15 +67,16 @@ def bench_decode():
     fn = lambda q, cache: paged_decode_attention(q, cache, cfg)
     dt = device_time(fn, (q, cache), n=10)
     toks_per_s = max_seqs / dt
-    # HBM bytes per step: int8 K+V payloads + f32 scales for every live page
-    bytes_step = max_seqs * seq_len * n_kv * (2 * d * 1 + 2 * 4)
+    # HBM bytes per step: K+V payloads + f32 scales for every live page
+    payload = 0.5 if kvq == "int4" else 1
+    bytes_step = int(max_seqs * seq_len * n_kv * (2 * d * payload + 2 * 4))
     t_hbm = bytes_step / V5E.hbm_bytes
     log(f"decode: {dt*1e3:.3f} ms/step, {toks_per_s:,.0f} tok/s, "
         f"HBM roofline {max_seqs/t_hbm:,.0f} tok/s "
         f"({t_hbm/dt:.0%} of bandwidth bound)")
     print(json.dumps({
-        "metric": "paged INT8 decode tokens/s (B=%d, ctx=%d, 8 KV heads, d=128)"
-                  % (max_seqs, seq_len),
+        "metric": "paged %s decode tokens/s (B=%d, ctx=%d, 8 KV heads, d=128)"
+                  % (kvq.upper(), max_seqs, seq_len),
         "value": round(toks_per_s),
         "unit": "tokens/s",
         "vs_baseline": round(dt and (t_hbm / dt), 3),

@@ -1,117 +1,74 @@
-"""Engine decode-step cost breakdown on the chip (B=16, ctx=8k, 8L model).
+"""Engine decode-step cost accounting on the chip.
 
-Times the full compiled step and its pieces (attention-only chain,
-append-only chain, projections+MLP-only) to find non-attention overhead.
+Times the pieces of a decode step individually (chaining many pallas
+calls into one device_time scan exceeds the remote compile helper's
+payload limit, and one-shot dispatch costs ~20 ms of tunnel RTT, so the
+full step must be measured as the *marginal* scan step — see
+tools/engine_bench.py).  Conclusion recorded from the measurements: the
+step is attention+weights bound — full step ms ~= n_layers x single
+attention call + weights-DMA; appends/sampling/rope are noise.
 """
 import sys
-sys.path.insert(0, ".")
-import os
+import time
 
+sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tf_flash_attention_tpu.models.transformer import ModelConfig, init_params
-from tf_flash_attention_tpu.serving.engine import DecodeEngine, EngineConfig
 from tf_flash_attention_tpu.serving.decode import paged_decode_attention
-from tf_flash_attention_tpu.serving.kv_cache import append_tokens_batched
+from tf_flash_attention_tpu.serving.kv_cache import (
+    KVCacheConfig, PagedKVCache, _pack_nibbles, _pack_scales,
+    _quantize_tokens, append_tokens_batched)
 from tf_flash_attention_tpu.utils.profiling import device_time
 
-B, CTX, PAGE = 16, 8192, 1024
-KVQ = os.environ.get("XKVQ", "int4")
-mcfg = ModelConfig(vocab=32768, d_model=1024, n_layers=8, n_heads=8,
-                   n_kv_heads=8, d_head=128, d_ff=4096, max_seq=2 * CTX,
-                   dtype=jnp.bfloat16)
-ecfg = EngineConfig(max_seqs=B, page_size=PAGE,
-                    n_pages=B * (CTX // PAGE) + B + 1,
-                    max_pages_per_seq=2 * CTX // PAGE, quantized_kv=True,
-                    kv_quant_dtype={"int8": jnp.int8, "int4": "int4"}[KVQ],
-                    prefill_mode="chunked", prefill_chunk=512)
-params = init_params(mcfg, jax.random.PRNGKey(0))
-eng = DecodeEngine(mcfg, params, ecfg, interpret=False)
+B, CTX, PAGE, N_KV, D = 16, 8192, 1024, 8, 128
+PPS = CTX // PAGE
+cfg = KVCacheConfig(n_kv_heads=N_KV, head_dim=D, page_size=PAGE,
+                    n_pages=B * PPS + B + 1, max_seqs=B,
+                    max_pages_per_seq=2 * PPS, quantized=True,
+                    quant_dtype="int4")
 rng = np.random.default_rng(0)
-for p in [list(rng.integers(1, 1000, CTX - 8)) for _ in range(B)]:
-    eng.submit(p, max_new_tokens=8)
-eng._admit()
-eng._ensure_capacity()
-caches = eng.caches
-ccfg = eng.ccfg
-q = jnp.asarray(rng.uniform(-1, 1, (B, 8, 128)), jnp.bfloat16)
-kv = jnp.asarray(rng.uniform(-1, 1, (B, 8, 128)), jnp.bfloat16)
+
+
+@jax.jit
+def make(k):
+    qv, sc = _quantize_tokens(k, "int4")
+    kp = _pack_nibbles(qv).reshape(N_KV, PPS, PAGE // 2, D)
+    scp = jnp.swapaxes(
+        _pack_scales(sc[..., 0]).reshape(N_KV, 2, PPS, PAGE // 2), 1, 2)
+    return kp, scp
+
+
+k = jnp.asarray(rng.uniform(-1, 1, (N_KV, CTX, D)), jnp.float32)
+kp, ks = make(k)
+pad = cfg.n_pages - PPS
+p4 = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0), (0, 0)))
+table = np.zeros((B, 2 * PPS), np.int32)
+table[:, :PPS] = np.arange(PPS)
+table[:, PPS] = PPS
+cache = PagedKVCache(k_pages=p4(kp), v_pages=p4(kp), k_scales=p4(ks),
+                     v_scales=p4(ks), page_tables=jnp.asarray(table),
+                     lengths=jnp.full((B,), CTX, jnp.int32))
+kv = jnp.asarray(rng.uniform(-1, 1, (B, N_KV, D)), jnp.bfloat16)
 active = jnp.ones((B,), bool)
+q = jnp.asarray(rng.uniform(-1, 1, (B, 8, D)), jnp.bfloat16)
 
-# attention-only: 8 chained decode calls (serial dependency via q)
-def attn_chain(q, caches):
-    o = q
-    for c in caches:
-        o = paged_decode_attention(o, c, ccfg).astype(q.dtype)
-    return o
+t = device_time(lambda q, c: paged_decode_attention(q, c, cfg), (q, cache),
+                n=20, reps=4)
+print(f"single decode attention call: {t*1e3:.3f} ms "
+      f"(x n_layers ~= the attention share of a full step)")
 
-t = device_time(attn_chain, (q, caches), n=8, reps=4)
-print(f"attention x8: {t*1e3:.3f} ms")
-
-# append-only: 8 chained appends
-def app_chain(kv, caches):
-    new = []
-    for c in caches:
-        new.append(append_tokens_batched(c, ccfg, kv, kv, active,
-                                         eng.trash_page, interpret=False))
-    return new
-
-def app_run(kv, caches):
-    # chain via fresh copies outside timing is hard; just run once per rep
-    return app_chain(kv, caches)
-
-import time
-f = jax.jit(app_run, donate_argnums=(1,))
+f = jax.jit(lambda kv, c: append_tokens_batched(
+    c, cfg, kv, kv, active, cfg.n_pages - 1, interpret=False),
+    donate_argnums=(1,))
 best = float("inf")
-for _ in range(4):
-    cs = [jax.tree.map(lambda x: x.copy(), c) for c in caches]
-    jax.block_until_ready(f(kv, cs))
-    cs = [jax.tree.map(lambda x: x.copy(), c) for c in caches]
+for _ in range(5):
+    c2 = jax.tree.map(lambda x: x.copy(), cache)
+    jax.block_until_ready(f(kv, c2))
+    c2 = jax.tree.map(lambda x: x.copy(), cache)
     t0 = time.perf_counter()
-    jax.block_until_ready(f(kv, cs))
+    jax.block_until_ready(f(kv, c2))
     best = min(best, time.perf_counter() - t0)
-print(f"appends x8 (one shot, incl dispatch): {best*1e3:.3f} ms")
-
-# projections + MLP only (no attention/appends)
-from tf_flash_attention_tpu.models.transformer import _mlp_block, _rms_norm
-
-def proj_chain(x):
-    for layer in eng.params["layers"]:
-        h = _rms_norm(x, layer["ln1"])
-        qp = h @ layer["wq"].astype(h.dtype)
-        kp = h @ layer["wk"].astype(h.dtype)
-        vp = h @ layer["wv"].astype(h.dtype)
-        o = (qp + kp + vp)[:, :1024] @ layer["wo"].astype(h.dtype)
-        x = x + o
-        x = _mlp_block(mcfg, layer, x[None])[0][0]
-    logits = _rms_norm(x, eng.params["final_norm"]) @ eng.params["embed"].astype(x.dtype).T
-    return logits
-
-x0 = jnp.asarray(rng.uniform(-1, 1, (B, 1024)), jnp.bfloat16)
-t = device_time(proj_chain, (x0,), n=10, reps=4)
-print(f"projections+mlp+logits: {t*1e3:.3f} ms")
-
-# full step
-tokens = jnp.zeros((B,), jnp.int32)
-temps = jnp.zeros((B,), jnp.float32)
-top_ks = jnp.zeros((B,), jnp.int32)
-top_ps = jnp.ones((B,), jnp.float32)
-key = jax.random.PRNGKey(1)
-
-def full_step(params, caches):
-    toks, new = eng._decode_step_impl(params, caches, tokens, active,
-                                      temps, top_ks, top_ps, key)
-    return toks
-
-f2 = jax.jit(full_step, donate_argnums=(1,))
-best = float("inf")
-for _ in range(4):
-    cs = [jax.tree.map(lambda x: x.copy(), c) for c in caches]
-    jax.block_until_ready(f2(eng.params, cs))
-    cs = [jax.tree.map(lambda x: x.copy(), c) for c in caches]
-    t0 = time.perf_counter()
-    jax.block_until_ready(f2(eng.params, cs))
-    best = min(best, time.perf_counter() - t0)
-print(f"full step (one shot, incl dispatch): {best*1e3:.3f} ms")
+print(f"single append call, one-shot (dominated by ~20 ms dispatch RTT; "
+      f"device cost is noise): {best*1e3:.3f} ms")

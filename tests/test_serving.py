@@ -1302,3 +1302,56 @@ def test_engine_noncausal_rule_rejected():
     with pytest.raises(ValueError, match="chunked"):
         DecodeEngine(mcfg, params, EngineConfig(max_seqs=1,
                                                 prefill_mode="bucketed"))
+
+
+def test_serving_prefill_fuzz():
+    """Random sweep over chunk positions/rules for the paged prefill
+    kernel (interpret mode), against the masked dense oracle built from
+    the dequantized cache contents."""
+    from tf_flash_attention_tpu.mask_rules import CausalRule, LocalRule
+    from tf_flash_attention_tpu.serving.kv_cache import (
+        gather_sequence_kv, write_tokens_at)
+    from tf_flash_attention_tpu.serving.prefill import paged_prefill_attention
+
+    rng = np.random.default_rng(98)
+    for it in range(4):
+        ps = int(rng.choice([16, 32]))
+        start = int(rng.integers(1, 4 * ps))
+        chunk = int(rng.choice([16, 24, 40]))
+        true = int(rng.integers(chunk // 2, chunk + 1))
+        d = 32
+        n_pages = -(-(start + chunk) // ps) + 2
+        if it % 2 == 0:
+            rule = CausalRule()
+        else:
+            rule = LocalRule(window_size=int(rng.integers(2, 30)),
+                             log2_stride_size=int(rng.choice([0, 1])),
+                             is_causal=True)
+        cfg = KVCacheConfig(n_kv_heads=2, head_dim=d, page_size=ps,
+                            n_pages=n_pages, max_seqs=1,
+                            max_pages_per_seq=n_pages - 1,
+                            quantized=bool(it % 2), dtype=jnp.float32)
+        cache = PagedKVCache.create(cfg)
+        alloc = PageAllocator(cfg.n_pages - 1)
+        k_h = jnp.asarray(rng.uniform(-1, 1, (2, start, d)), jnp.float32)
+        v_h = jnp.asarray(rng.uniform(-1, 1, (2, start, d)), jnp.float32)
+        cache = write_prompt(cache, cfg, 0,
+                             np.array(alloc.alloc(0, -(-(start + chunk) // ps))),
+                             k_h, v_h)
+        k_n = jnp.asarray(rng.uniform(-1, 1, (2, chunk, d)), jnp.float32)
+        v_n = jnp.asarray(rng.uniform(-1, 1, (2, chunk, d)), jnp.float32)
+        # keep int4 even-start invariant out of scope: pack==1 here
+        cache = write_tokens_at(cache, cfg, 0, start, k_n, v_n, true,
+                                trash_page=cfg.n_pages - 1)
+        q = jnp.asarray(rng.uniform(-1, 1, (chunk, 4, d)), jnp.float32)
+        o = paged_prefill_attention(q, cache, cfg, 0, start, true, rule=rule)
+        kd, vd = gather_sequence_kv(cache, cfg, 0)
+        w = rule.window_size if isinstance(rule, LocalRule) else 1 << 30
+        sshift = rule.log2_stride_size if isinstance(rule, LocalRule) else 0
+        for i in (0, true - 1):
+            q_pos = start + i
+            ref = _masked_oracle(kd[:, :q_pos + 1], vd[:, :q_pos + 1],
+                                 np.asarray(q[i]), q_pos, w, sshift)
+            tol = 2e-2 if cfg.quantized else 3e-5
+            err = np.abs(np.asarray(o[i]) - ref).max()
+            assert err < tol, (it, ps, start, chunk, rule, i, err)

@@ -1373,3 +1373,40 @@ def test_serving_prefill_fuzz():
             tol = 2e-2 if cfg.quantized else 3e-5
             err = np.abs(np.asarray(o[i]) - ref).max()
             assert err < tol, (it, ps, start, chunk, rule, i, err)
+
+
+def test_engine_cp_sliding_window_matches_dense_greedy():
+    """Sliding-window model on the context-parallel engine: the kernels
+    mask on global positions and skip per-shard pages below the window;
+    output matches the dense forward exactly (bounded-length sequences —
+    eviction/rolling tables stay single-shard)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    from tf_flash_attention_tpu.mask_rules import LocalRule
+    from tf_flash_attention_tpu.parallel.mesh import make_mesh
+
+    mcfg = dataclasses.replace(
+        MCFG, rule=LocalRule(window_size=12, is_causal=True))
+    params = init_params(mcfg, jax.random.PRNGKey(0))
+    mesh = make_mesh((4,), ("seq",), jax.devices()[:4])
+    ecfg = EngineConfig(max_seqs=2, page_size=16, n_pages=8,
+                        max_pages_per_seq=4, quantized_kv=False,
+                        prefill_mode="chunked", prefill_chunk=16,
+                        prefix_caching=False)
+    eng = DecodeEngine(mcfg, params, ecfg, mesh=mesh)
+
+    def greedy_dense_w(prompt, n_new):
+        toks = list(prompt)
+        for _ in range(n_new):
+            logits = forward(mcfg, params, jnp.asarray([toks], jnp.int32))
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        return toks
+
+    # 40-token prompt spans several shards; window 12 reaches across the
+    # page/shard boundaries during both prefill and decode
+    prompts = [[(i * 7 + 1) % MCFG.vocab for i in range(40)], [7, 8, 9]]
+    rids = [eng.submit(p, max_new_tokens=10) for p in prompts]
+    results = eng.run(max_steps=50)
+    for rid, prompt in zip(rids, prompts):
+        want = greedy_dense_w(prompt, 10)
+        assert results[rid] == want, (results[rid], want)

@@ -163,10 +163,11 @@ class DecodeEngine:
                 raise ValueError("context-parallel engine does not support MoE")
             if engine_cfg.prefill_mode != "chunked":
                 raise ValueError("context-parallel engine requires chunked prefill")
-            if isinstance(model_cfg.rule, LocalRule):
-                raise ValueError("context-parallel engine supports causal "
-                                 "models (window eviction/rolling tables do "
-                                 "not compose with CP yet)")
+            # window rules work across shards (the kernels mask on global
+            # positions and skip per-shard pages below the window before
+            # any load); page EVICTION and rolling tables remain
+            # single-shard features, so CP window sequences are bounded by
+            # cp * max_pages_per_seq * page_size like causal ones
             if engine_cfg.speculative_tokens and engine_cfg.page_size <= engine_cfg.speculative_tokens:
                 raise ValueError("page_size must exceed speculative_tokens")
         self._n_heads_loc = model_cfg.n_heads // tp
@@ -226,7 +227,13 @@ class DecodeEngine:
         # retain evicted prompt pages, so window models run without it.
         self._window = (model_cfg.rule.strided_window_size
                         if isinstance(model_cfg.rule, LocalRule) else None)
-        if self._window is not None:
+        if self._window is not None and cp > 1:
+            # cross-shard windows skip dead pages at read time, but
+            # eviction/rolling tables are single-shard: treat as bounded
+            self.prefix_cache = None
+            self._window = None
+            self._pages_cap = -1
+        elif self._window is not None:
             self.prefix_cache = None
             gamma = max(1, engine_cfg.speculative_tokens + 1)
             span = self._window + gamma + engine_cfg.prefill_chunk
@@ -846,7 +853,7 @@ class DecodeEngine:
         dropped); their reuse is the registry's LRU's business.
         """
         rule = self.mcfg.rule
-        if not isinstance(rule, LocalRule):
+        if not isinstance(rule, LocalRule) or self.cp > 1:
             return
         ps = self.ecfg.page_size
         for slot, st in enumerate(self._slots):

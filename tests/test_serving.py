@@ -1410,3 +1410,43 @@ def test_engine_cp_sliding_window_matches_dense_greedy():
     for rid, prompt in zip(rids, prompts):
         want = greedy_dense_w(prompt, 10)
         assert results[rid] == want, (results[rid], want)
+
+
+def test_engine_cp_window_rolling_and_lazy_prompt():
+    """Sliding-window model on the CP engine with rolling tables: a prompt
+    larger than the per-shard tables and a generation past the nominal
+    table reach both match dense greedy, with pages evicted behind the
+    window across shards throughout."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    from tf_flash_attention_tpu.mask_rules import LocalRule
+    from tf_flash_attention_tpu.parallel.mesh import make_mesh
+
+    w, ps = 12, 8
+    mcfg = dataclasses.replace(
+        MCFG, rule=LocalRule(window_size=w, is_causal=True))
+    params = init_params(mcfg, jax.random.PRNGKey(0))
+    mesh = make_mesh((4,), ("seq",), jax.devices()[:4])
+    # per-shard table: 3 pages = 24 tokens -> nominal reach 4*3*8 = 96
+    ecfg = EngineConfig(max_seqs=1, page_size=ps, n_pages=6,
+                        max_pages_per_seq=3, quantized_kv=False,
+                        prefill_mode="chunked", prefill_chunk=8,
+                        prefix_caching=False)
+    eng = DecodeEngine(mcfg, params, ecfg, mesh=mesh)
+
+    def greedy_dense_w(prompt, n_new):
+        toks = list(prompt)
+        for _ in range(n_new):
+            logits = forward(mcfg, params, jnp.asarray([toks], jnp.int32))
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        return toks
+
+    # 120-token prompt (15 global pages > 4*3 table entries and > 4*5
+    # physical pages) + 40 generated tokens -> total 160 > nominal reach
+    prompt = [(i * 13 + 5) % MCFG.vocab for i in range(120)]
+    rid = eng.submit(prompt, max_new_tokens=40)
+    results = eng.run(max_steps=80)
+    assert results[rid] == greedy_dense_w(prompt, 40)
+    assert eng.stats["pages_evicted"] >= 15
+    for a in eng.allocators:
+        assert a.free_pages == ecfg.n_pages - 1  # all pages returned

@@ -227,22 +227,19 @@ class DecodeEngine:
         # retain evicted prompt pages, so window models run without it.
         self._window = (model_cfg.rule.strided_window_size
                         if isinstance(model_cfg.rule, LocalRule) else None)
-        if self._window is not None and cp > 1:
-            # cross-shard windows skip dead pages at read time, but
-            # eviction/rolling tables are single-shard: treat as bounded
-            self.prefix_cache = None
-            self._window = None
-            self._pages_cap = -1
-        elif self._window is not None:
+        if self._window is not None:
             self.prefix_cache = None
             gamma = max(1, engine_cfg.speculative_tokens + 1)
             span = self._window + gamma + engine_cfg.prefill_chunk
-            self._pages_cap = -(-span // engine_cfg.page_size) + 2
+            live_pages = -(-span // engine_cfg.page_size) + 2
+            # under CP the live set spreads round-robin; the binding shard
+            # holds at most ceil(live/cp)+1 of its pages
+            self._pages_cap = (-(-live_pages // cp) + 1) if cp > 1 else live_pages
             if self._pages_cap > engine_cfg.max_pages_per_seq:
                 raise ValueError(
                     f"max_pages_per_seq={engine_cfg.max_pages_per_seq} too "
                     f"small for the window's live set ({self._pages_cap} "
-                    f"pages: window {self._window} + chunk/gamma)")
+                    f"local pages: window {self._window} + chunk/gamma)")
         else:
             self._pages_cap = -1
         # budget counts pages on the BINDING shard: round-robin placement
@@ -611,10 +608,12 @@ class DecodeEngine:
         self._next_rid += 1
         cap = self._pages_cap
         if self.cp > 1:
-            # reserve the binding (first) shard's share of the pages
+            # reserve the binding (first) shard's share of the pages;
+            # window models are additionally capped by their live set
             total = len(prompt) + max_new_tokens
             g = -(-total // self.ecfg.page_size)
-            cap = -(-g // self.cp)
+            share = -(-g // self.cp)
+            cap = share if cap < 0 else min(cap, share)
         self.scheduler.enqueue(Request(rid, len(prompt), max_new_tokens,
                                        pages_cap=cap))
         self._results[rid] = list(prompt)
@@ -731,31 +730,49 @@ class DecodeEngine:
 
     def _prefill_chunked_cp(self, prompt: List[int], slot: int):
         """Context-parallel chunked prefill: each shard maps its round-robin
-        share of the prompt's pages upfront, then every chunk runs the CP
-        step (per-shard writes route non-owned pages to trash; attention
-        partials merge inside the compiled step)."""
+        share of the prompt's pages (upfront for causal models, lazily
+        per-chunk with evict-behind-window for sliding-window models),
+        then every chunk runs the CP step (per-shard writes route
+        non-owned pages to trash; attention partials merge inside the
+        compiled step)."""
         ps = self.ecfg.page_size
         mp = self.ecfg.max_pages_per_seq
         G = -(-len(prompt) // ps)
-        tables = np.array(self.caches[0].page_tables)   # (cp, S, mp)
-        for r in range(self.cp):
-            cnt = len(range(r, G, self.cp))
-            if cnt > mp:
-                raise RuntimeError(
-                    f"prompt needs {cnt} local pages on shard {r} but "
-                    f"max_pages_per_seq={mp}")
-            if cnt:
-                pages_r = self.allocators[r].alloc(slot, cnt)
-                tables[r, slot, :cnt] = pages_r
-        t_dev = jnp.asarray(tables, jnp.int32)
+        lazy = self._window is not None
+        if not lazy:
+            tables = np.array(self.caches[0].page_tables)   # (cp, S, mp)
+            for r in range(self.cp):
+                cnt = len(range(r, G, self.cp))
+                if cnt > mp:
+                    raise RuntimeError(
+                        f"prompt needs {cnt} local pages on shard {r} but "
+                        f"max_pages_per_seq={mp}")
+                if cnt:
+                    pages_r = self.allocators[r].alloc(slot, cnt)
+                    tables[r, slot, :cnt] = pages_r
+            t_dev = jnp.asarray(tables, jnp.int32)
+        else:
+            t_dev = self.caches[0].page_tables
         for i in range(len(self.caches)):
             self.caches[i] = dataclasses.replace(
                 self.caches[i], page_tables=t_dev,
                 lengths=self.caches[i].lengths.at[:, slot].set(0))
         chunk = self.ecfg.prefill_chunk
         start, last_logits = 0, None
+        mapped_hi, evicted = -1, 0
         while start < len(prompt):
             n = min(chunk, len(prompt) - start)
+            if lazy:
+                last_needed = (start + n - 1) // ps
+                for logical in range(mapped_hi + 1, last_needed + 1):
+                    owner, loc = logical % self.cp, logical // self.cp
+                    page = self.allocators[owner].alloc(slot, 1)[0]
+                    for i in range(len(self.caches)):
+                        self.caches[i] = dataclasses.replace(
+                            self.caches[i],
+                            page_tables=self.caches[i].page_tables.at[
+                                owner, slot, loc % mp].set(page))
+                mapped_hi = max(mapped_hi, last_needed)
             self.stats["prefill_chunks"] += 1
             self.stats["prefill_tokens"] += n
             toks = prompt[start:start + n] + [0] * (chunk - n)
@@ -766,7 +783,13 @@ class DecodeEngine:
                 jnp.asarray(start, jnp.int32),
                 jnp.asarray(n, jnp.int32))
             start += n
-        return last_logits, 0, 0
+            if lazy:
+                keep_from = max(0, start - (self._window - 1)) // ps
+                if keep_from > evicted:
+                    self._release_global_pages(slot, evicted, keep_from)
+                    self.stats["pages_evicted"] += keep_from - evicted
+                    evicted = keep_from
+        return last_logits, evicted, 0
 
     def _admit(self):
         for req, slot in self.scheduler.admit():
@@ -821,16 +844,17 @@ class DecodeEngine:
             if self.cp > 1:
                 for logical in range(first_unmapped, last_needed + 1):
                     owner, loc = logical % self.cp, logical // self.cp
-                    if loc >= mp:
+                    if loc >= mp and self._window is None:
                         raise RuntimeError(
                             f"sequence needs local page {loc} on shard "
-                            f"{owner} but max_pages_per_seq={mp}")
+                            f"{owner} but max_pages_per_seq={mp}; only "
+                            f"sliding-window models roll the page table")
                     page = self.allocators[owner].alloc(slot, 1)[0]
                     for i in range(len(self.caches)):
                         self.caches[i] = dataclasses.replace(
                             self.caches[i],
                             page_tables=self.caches[i].page_tables.at[
-                                owner, slot, loc].set(page))
+                                owner, slot, loc % mp].set(page))
                 continue
             if self._window is None and last_needed >= mp:
                 raise RuntimeError(
@@ -853,7 +877,7 @@ class DecodeEngine:
         dropped); their reuse is the registry's LRU's business.
         """
         rule = self.mcfg.rule
-        if not isinstance(rule, LocalRule) or self.cp > 1:
+        if not isinstance(rule, LocalRule):
             return
         ps = self.ecfg.page_size
         for slot, st in enumerate(self._slots):
@@ -862,15 +886,29 @@ class DecodeEngine:
             # the next step's oldest query row sits at `length`; it reaches
             # back strided_window-1 positions, and the window only moves right
             keep_from = max(0, st["length"] - (rule.strided_window_size - 1)) // ps
-            n = keep_from - st.get("evicted", 0)
+            done = st.get("evicted", 0)
+            n = keep_from - done
             if n > 0:
                 # physical pages recycle inside the slot's capped
                 # reservation (window slots always reserve their cap, so
                 # no scheduler refund is needed; Scheduler.refund exists
                 # for uncapped admission policies)
-                self.allocator.release_prefix(slot, n)
-                st["evicted"] = st.get("evicted", 0) + n
+                self._release_global_pages(slot, done, keep_from)
+                st["evicted"] = keep_from
                 self.stats["pages_evicted"] += n
+
+    def _release_global_pages(self, slot: int, lo: int, hi: int):
+        """Drop the slot's references to global logical pages [lo, hi)
+        (oldest first).  Owned lists are per seq-shard and in logical
+        order, so each shard releases its round-robin share."""
+        if self.cp == 1:
+            self.allocator.release_prefix(slot, hi - lo)
+            return
+        for r in range(self.cp):
+            # shard r owns pages g in [lo, hi) with g % cp == r
+            cnt = len(range(lo + ((r - lo) % self.cp), hi, self.cp))
+            if cnt:
+                self.allocators[r].release_prefix(slot, cnt)
 
     def _retire(self):
         for slot, st in enumerate(self._slots):

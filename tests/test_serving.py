@@ -83,6 +83,7 @@ def greedy_dense(params, prompt, n_new):
 
 
 @pytest.mark.parametrize("quantized", [False])
+@pytest.mark.slow
 def test_engine_matches_dense_greedy(quantized):
     params = init_params(MCFG, jax.random.PRNGKey(0))
     ecfg = EngineConfig(max_seqs=3, page_size=64, n_pages=32,
@@ -97,6 +98,7 @@ def test_engine_matches_dense_greedy(quantized):
         assert results[rid] == want, (results[rid], want)
 
 
+@pytest.mark.slow
 def test_engine_continuous_admission():
     """More requests than slots: later requests admitted as slots free."""
     params = init_params(MCFG, jax.random.PRNGKey(0))
@@ -111,6 +113,7 @@ def test_engine_continuous_admission():
         assert len(results[rid]) == 2 + 4
 
 
+@pytest.mark.slow
 def test_sharded_decode_matches_local():
     if jax.device_count() < 8:
         pytest.skip("needs 8 devices")
@@ -204,6 +207,7 @@ def test_sample_tokens_rules():
     assert got[0] == int(jnp.argmax(logits[0]))
 
 
+@pytest.mark.slow
 def test_engine_sampling_and_eos():
     from tf_flash_attention_tpu.serving.sampling import SamplingParams
 
@@ -316,6 +320,7 @@ def test_write_tokens_at_matches_write_prompt():
                                    np.asarray(chunked.v_pages[:, p]), rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_engine_chunked_matches_dense_greedy():
     """Chunked prefill (multi-chunk, partial pages) == dense greedy."""
     params = init_params(MCFG, jax.random.PRNGKey(0))
@@ -398,6 +403,7 @@ def test_multitoken_decode_matches_oracle():
     np.testing.assert_allclose(np.asarray(om), np.asarray(o1), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_engine_speculative_matches_dense_greedy():
     """Speculative greedy is lossless: identical tokens to dense greedy,
     fewer steps, nonzero acceptance on repetitive continuations."""
@@ -428,6 +434,7 @@ def test_engine_speculative_matches_dense_greedy():
     assert res2[rid2] == want[: len(prompt) + 5], (res2[rid2], want)
 
 
+@pytest.mark.slow
 def test_engine_tensor_parallel_matches_dense_greedy():
     """TP engine (sharded params + head-sharded cache under shard_map)
     produces exactly the single-chip greedy tokens."""
@@ -618,6 +625,7 @@ def test_int4_multitoken_decode_matches_oracle():
     np.testing.assert_array_equal(np.asarray(o[1]), 0.0)
 
 
+@pytest.mark.slow
 def test_engine_int4_kv_runs_greedy():
     """End-to-end engine sanity with the int4 cache: chunked prefill +
     decode + speculation all run; tokens match the same engine re-run
@@ -755,6 +763,7 @@ def test_local_rule_paged_prefill(w, s):
                                    rtol=3e-5, atol=3e-5, err_msg=f"row {i}")
 
 
+@pytest.mark.slow
 def test_engine_sliding_window_matches_dense_greedy():
     """A sliding-window model (ModelConfig.rule = LocalRule) served through
     the engine produces exactly the dense-forward greedy tokens — the rule
@@ -793,6 +802,7 @@ def test_engine_sliding_window_matches_dense_greedy():
     assert res[rid] == greedy_dense_w(prompt, 8)
 
 
+@pytest.mark.slow
 def test_engine_sliding_window_page_eviction():
     """With a LocalRule, a long generation holds only window-bounded pages:
     evicted pages return to the allocator (and the scheduler budget), and
@@ -847,6 +857,7 @@ def test_engine_sliding_window_page_eviction():
 
 # ---- sequence-sharded (context-parallel) decode ----
 
+@pytest.mark.slow
 def test_seq_sharded_decode_matches_flat():
     """Context-parallel decode: KV pages round-robin over 4 shards, partial
     (o, l, m) merged by one psum — must equal the single-device decode on
@@ -935,6 +946,7 @@ def test_fp8_e5m2_cache_roundtrip_accuracy():
     assert err < 1.5e-1, err  # e5m2 has 2 mantissa bits
 
 
+@pytest.mark.slow
 def test_seq_sharded_prefill_and_local_rule():
     """Context-parallel prefill matches flat prefill, and a LocalRule
     window works across shards (global positions reconstructed from the
@@ -1004,6 +1016,7 @@ def test_seq_sharded_prefill_and_local_rule():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_engine_stats_counters():
     params = init_params(MCFG, jax.random.PRNGKey(0))
     ecfg = EngineConfig(max_seqs=2, page_size=64, n_pages=16,
@@ -1025,6 +1038,7 @@ def test_engine_stats_counters():
     assert st["pages_evicted"] == 0  # causal model: no window eviction
 
 
+@pytest.mark.slow
 def test_serving_rule_fuzz():
     """Reference-style random sweep (tests/test_base.py fuzzing model) over
     window/stride/lengths/page sizes for the paged decode kernel's rule
@@ -1067,6 +1081,7 @@ def test_serving_rule_fuzz():
         assert err < tol, (it, ps, t, rule, err)
 
 
+@pytest.mark.slow
 def test_engine_rolling_table_unbounded_generation():
     """Sliding-window model generates far beyond max_pages_per_seq * page
     (the logical page table wraps; dead below-window entries are reused)
@@ -1099,6 +1114,7 @@ def test_engine_rolling_table_unbounded_generation():
     assert eng.allocator.free_pages == ecfg.n_pages - 1
 
 
+@pytest.mark.slow
 def test_engine_long_prompt_lazy_paging():
     """A prompt longer than the table (and most of physical memory) prefills
     lazily under a window rule: pages map per chunk and evict behind the
@@ -1130,6 +1146,7 @@ def test_engine_long_prompt_lazy_paging():
     assert eng.stats["pages_evicted"] >= 9  # prompt pages evicted in flight
 
 
+@pytest.mark.slow
 def test_engine_overflow_without_window_raises():
     """A causal (non-window) sequence that outgrows max_pages_per_seq fails
     loudly instead of silently corrupting the table."""
@@ -1197,6 +1214,7 @@ def test_write_tokens_at_seq_sharded_matches_prompt_write():
 
 
 @pytest.mark.parametrize("kvq", [jnp.int8, "int4"])
+@pytest.mark.slow
 def test_engine_context_parallel_matches_dense_greedy(kvq):
     """Context-parallel engine (KV pages round-robin over a seq axis, CP
     step functions under shard_map) produces exactly the single-chip
@@ -1251,6 +1269,7 @@ def test_engine_context_parallel_matches_dense_greedy(kvq):
         assert eng2.spec_stats["accepted"] > 0
 
 
+@pytest.mark.slow
 def test_engine_tp_x_cp_matches_dense_greedy():
     """2D serving mesh (model x seq): heads sharded AND pages sharded —
     exact single-chip greedy through prefill, decode, speculation."""
@@ -1282,6 +1301,7 @@ def test_engine_tp_x_cp_matches_dense_greedy():
     assert res[rid] == greedy_dense(params, prompt, 8)
 
 
+@pytest.mark.slow
 def test_engine_cp_admission_respects_binding_shard():
     """Round-robin placement puts every sequence's first page on shard 0,
     so CP admission must budget against the binding shard — six 1-page
@@ -1306,6 +1326,7 @@ def test_engine_cp_admission_respects_binding_shard():
         assert len(results[rid]) == 3 + 4
 
 
+@pytest.mark.slow
 def test_engine_noncausal_rule_rejected():
     from tf_flash_attention_tpu.mask_rules import FullRule, LocalRule
 
@@ -1375,6 +1396,7 @@ def test_serving_prefill_fuzz():
             assert err < tol, (it, ps, start, chunk, rule, i, err)
 
 
+@pytest.mark.slow
 def test_engine_cp_sliding_window_matches_dense_greedy():
     """Sliding-window model on the context-parallel engine: the kernels
     mask on global positions and skip per-shard pages below the window;
@@ -1412,6 +1434,7 @@ def test_engine_cp_sliding_window_matches_dense_greedy():
         assert results[rid] == want, (results[rid], want)
 
 
+@pytest.mark.slow
 def test_engine_cp_window_rolling_and_lazy_prompt():
     """Sliding-window model on the CP engine with rolling tables: a prompt
     larger than the per-shard tables and a generation past the nominal

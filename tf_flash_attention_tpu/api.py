@@ -42,10 +42,12 @@ __all__ = [
 
 
 def _default_implementation(dtype) -> str:
-    # float64 has no native TPU path; route it through the XLA oracle
-    # (documented deviation: the CUDA reference compiles real fp64 kernels).
+    # float64 has no native TPU MXU path (the CUDA reference compiles real
+    # fp64 kernels, flash_attention.cu:2450-2487); route it through the
+    # chunked flash-structured XLA path, which keeps flash's O(block)
+    # memory at the reference's fp64 precision class.
     if jnp.dtype(dtype) == jnp.float64:
-        return "xla"
+        return "xla_flash"
     return "pallas"
 
 
@@ -131,6 +133,14 @@ def flash_attention(
     if implementation == "xla":
         mask = jnp.asarray(build_mask(pack, rule).reshape(q_len, k_len))
         o, l, m = reference_attention_flat(qf, kf, vf, mask, scale=scale)
+    elif implementation == "xla_flash":
+        from .ops.chunked import flash_attention_xla
+
+        o, lv, mv = flash_attention_xla(
+            qf, kf, vf, pack=pack, rule=rule, scale=scale,
+            block_q=block_config.block_q, block_kv=block_config.block_kv,
+        )
+        l, m = _public_lm(Q.dtype, lv, mv)
     elif implementation == "pallas":
         params = AttendParams(
             pack=pack, rule=rule, config=block_config,

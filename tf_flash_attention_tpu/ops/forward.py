@@ -71,6 +71,7 @@ def _fwd_kernel(
     has_partial: bool,
     kv_compute: int,
     q_compute: int,
+    fast_softmax: bool,
 ):
     qi = pl.program_id(1)
     step = pl.program_id(2)
@@ -124,8 +125,21 @@ def _fwd_kernel(
                 # a real max, exp2(NEG - m) underflows to 0, so no re-select
                 # is needed.  Fully-masked rows (m still NEG) are repaired
                 # in _finalize.
-                p = jnp.exp2(s - m_next)
-                l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+                if fast_softmax:
+                    # 16-bit inputs: the (s - m) shift and exp2 run at bf16
+                    # VPU width and the PV matmul consumes p directly with
+                    # no separate f32->bf16 cast pass.  s - m_next <= 0
+                    # always, so exp2 <= 1 (no bf16 overflow); NEG_INF_F32
+                    # is representable in bf16 and underflows exp2 to 0.
+                    # Measured +18% on chip (tools/exp_vpu_attrib.py); error
+                    # ~2^-9 relative, far inside the half tolerance model
+                    # (1e-3 * k_len, test_base.py:205-226).
+                    p = jnp.exp2((s - m_next).astype(jnp.bfloat16))
+                    l_next = alpha * l_prev + jnp.sum(
+                        p, axis=1, keepdims=True, dtype=jnp.float32)
+                else:
+                    p = jnp.exp2(s - m_next)
+                    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
                 m_scratch[qs, :] = jnp.broadcast_to(
                     m_next, (q_compute, m_scratch.shape[1]))
                 l_scratch[qs, :] = jnp.broadcast_to(
@@ -185,6 +199,7 @@ def flash_forward(
     config: BlockConfig,
     scale: Optional[float] = None,
     interpret: bool = False,
+    fast_softmax: Optional[bool] = None,
 ):
     """Run the forward kernel on sequence-major tensors.
 
@@ -205,7 +220,7 @@ def flash_forward(
         o, l, m = flash_forward(
             q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
             v.astype(jnp.bfloat16), pack=pack, rule=rule, config=config,
-            scale=scale, interpret=interpret)
+            scale=scale, interpret=interpret, fast_softmax=fast_softmax)
         return o.astype(in_dtype), l, m
     B, q_len, d = q.shape
     _, k_len, v_d = v.shape
@@ -232,6 +247,11 @@ def flash_forward(
     sched = build_schedule(pack, rule, block_q, block_kv)
     num_steps = sched.num_steps
 
+    if fast_softmax is None:
+        # Auto policy: bf16 softmax for 16-bit inputs (error ~2^-9 relative,
+        # inside the reference half tolerance model); exact f32 otherwise.
+        fast_softmax = jnp.dtype(in_dtype).itemsize == 2
+
     kernel = functools.partial(
         _fwd_kernel,
         pack=pack,
@@ -245,6 +265,7 @@ def flash_forward(
         has_partial=bool(sched.partial.any()),
         kv_compute=min(config.block_kv_compute or block_kv, block_kv),
         q_compute=min(config.block_q_compute or block_q, block_q),
+        fast_softmax=bool(fast_softmax),
     )
 
     grid = (B, sched.num_q_blocks, num_steps)

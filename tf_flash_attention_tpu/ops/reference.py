@@ -77,19 +77,24 @@ def reference_attention_flat(q, k, v, mask, *, scale=None):
     in_dtype = q.dtype
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
-    mask_value = neg_inf_approx(jnp.float32)
+    # Compute dtype: float32 for narrow inputs, float64 for float64 inputs
+    # (a float32 ``preferred_element_type`` would silently *down*-cast the
+    # fp64 einsum and cap the oracle at f32 precision — the reference's fp64
+    # threshold is 1e-9·k, internal_test.cu:15-28).
+    compute = jnp.float64 if jnp.dtype(in_dtype) == jnp.float64 else jnp.float32
+    mask_value = neg_inf_approx(compute)
     s = jnp.einsum(
-        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32,
+        "...qd,...kd->...qk", q, k, preferred_element_type=compute,
         precision="highest",
-    ) * jnp.float32(scale)
+    ) * compute(scale)
     s = jnp.where(mask, s, mask_value)
     m = jnp.max(s, axis=-1)
     p = jnp.where(mask, jnp.exp(s - m[..., None]), 0.0)
     l = jnp.sum(p, axis=-1)
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o = jnp.einsum(
-        "...qk,...kv->...qv", p, v.astype(jnp.float32),
-        preferred_element_type=jnp.float32, precision="highest",
+        "...qk,...kv->...qv", p, v.astype(compute),
+        preferred_element_type=compute, precision="highest",
     ) / l_safe[..., None]
     return (
         o.astype(in_dtype),

@@ -63,6 +63,28 @@ def test_mha_gqa():
     assert o_gqa.shape == o_full.shape
 
 
+def test_mha_gqa_gradients():
+    """Native grouped K/V (no jnp.repeat) must match the repeat-based
+    formulation through the backward pass: dK/dV of the grouped call equal
+    the group-summed dK/dV of the repeated call."""
+    q, k, v = data(h=4)
+    k2, v2 = k[:, ::2], v[:, ::2]
+
+    def loss_gqa(q, k2, v2):
+        return jnp.sum(mha(q, k2, v2, rule=CausalRule(), block_config=BLOCKS) ** 2)
+
+    def loss_rep(q, k2, v2):
+        return jnp.sum(mha(q, jnp.repeat(k2, 2, axis=1), jnp.repeat(v2, 2, axis=1),
+                           rule=CausalRule(), block_config=BLOCKS) ** 2)
+
+    v1, g1 = jax.value_and_grad(loss_gqa, (0, 1, 2))(q, k2, v2)
+    v2_, g2 = jax.value_and_grad(loss_rep, (0, 1, 2))(q, k2, v2)
+    np.testing.assert_allclose(float(v1), float(v2_), rtol=1e-6)
+    for a, b, name in zip(g1, g2, ("dQ", "dK", "dV")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
 def test_sharded_attention_matches_local(eight_devices):
     mesh = make_mesh((2, 4), ("data", "model"), eight_devices)
     q, k, v = data(b=2, h=4)

@@ -217,16 +217,13 @@ def _attention_block(cfg: ModelConfig, layer, x, mesh: Optional[Mesh], interpret
             pos0 = jax.lax.axis_index(AXIS_CONTEXT) * ss
             q_r = _rope(q, cfg.rope_theta, pos0)
             k_r = _rope(k, cfg.rope_theta, pos0)
-            if hh != k_r.shape[1]:
-                reps = hh // k_r.shape[1]
-                k_r = jnp.repeat(k_r, reps, axis=1)
-                v_l = jnp.repeat(v, reps, axis=1)
-            else:
-                v_l = v
+            # GQA runs natively in the kernels (flattened-batch group index
+            # map, parallel/sharded.mha) — no jnp.repeat materialisation.
+            hh_kv = k_r.shape[1]
             o = ring_attention_local(
                 q_r.reshape(bb * hh, ss, dd),
-                k_r.reshape(bb * hh, ss, dd),
-                v_l.reshape(bb * hh, ss, -1),
+                k_r.reshape(bb * hh_kv, ss, dd),
+                v.reshape(bb * hh_kv, ss, -1),
                 axis_name=AXIS_CONTEXT, axis_size=n_ctx,
                 rule=cfg.rule, block_config=cfg.block_config,
                 interpret=interpret,

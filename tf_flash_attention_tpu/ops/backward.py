@@ -23,13 +23,14 @@ fused XLA op.  Gradient math (``:1899-1940``):
 ``dS = P ∘ (dO·Vᵀ − D) · scale``, ``dQ += dS·K``, ``dK += dSᵀ·Q``.
 
 Masked entries need no explicit re-select: they hold the finite
-``neg_inf_approx`` so ``exp(NEG − m)`` underflows to exactly 0 for live
-rows, and fully-masked / padded rows carry ``l = 0``, which the
-``1/l → 0`` normaliser turns into an all-zero ``P`` row.
+``neg_inf_approx`` so the recompute underflows them to exactly 0 for live
+rows, and fully-masked / padded rows (``l = 0``) carry a ``+LARGE`` LSE
+that underflows the whole ``P`` row to 0.
 
-``(l, m, D)`` ride in one packed fp32 "stats" tensor of shape
-``(B, q_pad, 8)`` (lanes 0..2) so row-aligned scalars satisfy the TPU
-block-shape rules without burning a full 128-lane tensor per quantity.
+``(lse2, D)`` — the log2-domain log-sum-exp combining the stored ``(l, m)``
+pair, and the dO∘O rowsum — ride in one packed fp32 "stats" tensor of
+shape ``(B, q_pad, 8)`` (lanes 0..1) so row-aligned scalars satisfy the
+TPU block-shape rules without burning a full 128-lane tensor per quantity.
 
 Both kernels reuse the trace-time block-skip schedule (dead tiles are never
 loaded) and its interior/partial tile classing (interior tiles skip mask
@@ -59,14 +60,24 @@ from .kernel_common import (
 __all__ = ["flash_backward"]
 
 
-def _recompute_p(q, k, m2_row, l_row, mask):
+def _recompute_p(q, k, lse2_row, mask, fast_softmax):
     """Recompute normalised probabilities for one (bq, bk) tile.
 
     Same log2-domain evaluation as the forward kernel: ``q`` arrives
     pre-scaled by ``scale*log2(e)`` (folded into the small (bq, d) tile or
-    into the XLA-side pad, never a per-logit-tile multiply) and ``m2_row``
-    is the stored row max pre-multiplied by log2(e) (and clamped to the
-    masking floor) on the XLA side.
+    into the XLA-side pad, never a per-logit-tile multiply).  The stored
+    ``(l, m)`` pair is pre-combined XLA-side into one log2-domain LSE row
+    (``lse2 = m·log2e + log2 l``), so normalisation is fused into the
+    exp2's subtract — ``P = exp2(s·scale·log2e − lse2)`` — and the
+    per-tile ``1/l`` select+multiply pass of the naive form disappears.
+    Fully-masked rows carry ``lse2 = +LARGE`` so every entry underflows
+    to exactly 0 (the reference's ``l = 0 → P row = 0`` contract,
+    ``flash_attention.cu:1008-1016``).
+
+    ``fast_softmax`` mirrors the forward kernel's bf16 exp2 chain
+    (``forward.py``): ``s − lse2 ≤ −log2 l ≤ 0`` for live rows (the row
+    max contributes 1 to ``l``, so ``l ≥ 1``), hence ``exp2 ≤ 1`` with no
+    bf16 overflow, and the P matmuls consume bf16 p with no cast pass.
     """
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -74,9 +85,9 @@ def _recompute_p(q, k, m2_row, l_row, mask):
     )
     if mask is not None:
         s = jnp.where(mask, s, NEG_INF_F32)
-    p = jnp.exp2(s - m2_row)
-    l_inv = jnp.where(l_row == 0.0, 0.0, 1.0 / l_row)
-    return p * l_inv
+    if fast_softmax:
+        return jnp.exp2((s - lse2_row).astype(jnp.bfloat16))
+    return jnp.exp2(s - lse2_row)
 
 
 def _tile_mask_or_none(masked, pack, rule, qb, kb, block_q, block_kv,
@@ -97,7 +108,7 @@ def _dq_kernel(
     dq_acc,
     *,
     pack, rule, scale, q_len, k_len, q_len_padded, k_len_padded, num_steps,
-    has_interior, has_partial,
+    has_interior, has_partial, fast_softmax,
 ):
     qi = pl.program_id(1)
     step = pl.program_id(2)
@@ -113,12 +124,11 @@ def _dq_kernel(
         mask = _tile_mask_or_none(masked, pack, rule, qi, kb, block_q, block_kv,
                                   q_len, k_len, q_len_padded, k_len_padded)
         stats = stats_ref[0]
-        l_row = stats[:, 0:1]
-        m_row = stats[:, 1:2]
-        delta_row = stats[:, 2:3]
+        lse2_row = stats[:, 0:1]
+        delta_row = stats[:, 1:2]
         # q arrives pre-scaled by scale*log2(e) (XLA-side; it feeds only the
         # P recompute in this kernel).
-        p = _recompute_p(q_ref[0], k_ref[0], m_row, l_row, mask)
+        p = _recompute_p(q_ref[0], k_ref[0], lse2_row, mask, fast_softmax)
 
         dp = jax.lax.dot_general(
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
@@ -163,14 +173,21 @@ def _dkv_kernel(
     dk_acc, dv_acc,
     *,
     pack, rule, scale, q_len, k_len, q_len_padded, k_len_padded, num_steps,
-    has_interior, has_partial,
+    has_interior, has_partial, kv_group, fast_softmax,
 ):
     ki = pl.program_id(1)
-    step = pl.program_id(2)
+    # GQA: the innermost grid axis runs kv_group * num_steps steps — the
+    # schedule replayed once per query head of the group — so dK/dV
+    # accumulate over every query head sharing this KV row with a single
+    # writer (grid axis 0 is the KV batch; the q/do/stats index maps pick
+    # the group member from the step index).
+    raw_step = pl.program_id(2)
+    step = raw_step % num_steps if kv_group > 1 else raw_step
+    total_steps = kv_group * num_steps
     block_kv = k_ref.shape[1]
     block_q = q_ref.shape[1]
 
-    @pl.when(step == 0)
+    @pl.when(raw_step == 0)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -180,13 +197,12 @@ def _dkv_kernel(
         mask = _tile_mask_or_none(masked, pack, rule, qb, ki, block_q, block_kv,
                                   q_len, k_len, q_len_padded, k_len_padded)
         stats = stats_ref[0]
-        l_row = stats[:, 0:1]
-        m_row = stats[:, 1:2]
-        delta_row = stats[:, 2:3]
+        lse2_row = stats[:, 0:1]
+        delta_row = stats[:, 1:2]
         # k arrives pre-scaled by scale*log2(e) (XLA-side; it feeds only the
         # P recompute in this kernel — dK is an output, and the dK GEMM
         # consumes unscaled q).
-        p = _recompute_p(q_ref[0], k_ref[0], m_row, l_row, mask)
+        p = _recompute_p(q_ref[0], k_ref[0], lse2_row, mask, fast_softmax)
 
         # dV += Pᵀ · dO
         dv_acc[...] += jax.lax.dot_general(
@@ -225,7 +241,7 @@ def _dkv_kernel(
         def _only():
             update(has_partial)
 
-    @pl.when(step == num_steps - 1)
+    @pl.when(raw_step == total_steps - 1)
     def _finalize():
         dk_ref[0] = (dk_acc[...] * jnp.float32(scale)).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
@@ -239,6 +255,7 @@ def flash_backward(
     config: BlockConfig,
     scale: Optional[float] = None,
     interpret: bool = False,
+    fast_softmax: Optional[bool] = None,
 ):
     """Compute ``(dQ, dK, dV)`` on sequence-major tensors.
 
@@ -246,6 +263,10 @@ def flash_backward(
     take ``(Q, K, V, O, l, m, dO)`` (``flash_attention.py:374-390``,
     ``flash_attention_backward.cc:181-344``).  ``l``/``m`` may be any float
     dtype; they are consumed in float32.
+
+    ``fast_softmax`` selects the bf16 exp2 P-recompute chain (auto: on for
+    16-bit inputs, matching the forward kernel's policy so forward P and
+    backward P quantize identically; exact f32 otherwise).
     """
     in_dtype = q.dtype
     if (in_dtype == jnp.float16 and not interpret) or jnp.dtype(in_dtype).itemsize == 1:
@@ -254,11 +275,15 @@ def flash_backward(
         dq, dk, dv = flash_backward(
             b16(q), b16(k), b16(v), b16(o), l, m, b16(do),
             pack=pack, rule=rule, config=config, scale=scale,
-            interpret=interpret)
+            interpret=interpret, fast_softmax=fast_softmax)
         return (dq.astype(in_dtype), dk.astype(in_dtype),
                 dv.astype(in_dtype))
     B, q_len, d = q.shape
-    _, k_len, v_d = v.shape
+    B_kv, k_len, v_d = v.shape
+    # GQA (see forward.py): K/V may carry fewer (batch·head) rows than Q.
+    if B % B_kv:
+        raise ValueError(f"q batch {B} not a multiple of kv batch {B_kv}")
+    g = B // B_kv
     if scale is None:
         scale = 1.0 / np.sqrt(d)
     scale = float(scale)
@@ -266,17 +291,33 @@ def flash_backward(
     d_pad = pad_to(d, LANE)
     v_d_pad = pad_to(v_d, LANE)
 
+    if fast_softmax is None:
+        # Auto policy mirrors the forward kernel (forward.py): bf16 exp2
+        # for 16-bit inputs so forward P and backward P quantize the same
+        # way; exact f32 otherwise.  FA_FAST_SOFTMAX=0 disables globally.
+        import os
+        fast_softmax = (jnp.dtype(in_dtype).itemsize == 2
+                        and os.environ.get("FA_FAST_SOFTMAX", "1") != "0")
+    fast_softmax = bool(fast_softmax)
+
     # D = rowsum(dO ∘ O): one fused elementwise+reduce XLA op, shared by
     # both kernels (the reference computes it per-tile on device, :1882-1891).
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     # m is stored/published in the natural-log domain; the kernels work in
-    # the log2 domain, so pre-multiply by log2(e) here.  The clamp keeps
-    # fully-masked rows at the masking floor (m·log2e would otherwise fall
-    # below NEG_INF_F32 and turn exp2(NEG - m2) into +inf).
-    m2 = jnp.maximum(m.astype(jnp.float32) * jnp.float32(LOG2E),
-                     jnp.float32(NEG_INF_F32))
-    stats = jnp.stack([l.astype(jnp.float32), m2, delta], axis=-1)
-    stats = jnp.pad(stats, ((0, 0), (0, 0), (0, STATS_LANES - 3)))
+    # the log2 domain.  (l, m) are pre-combined into one log2-domain LSE —
+    # ``lse2 = m·log2e + log2 l`` — so the in-kernel P recompute is a
+    # single fused subtract+exp2 with normalisation built in
+    # (see _recompute_p).  Fully-masked / padded rows (l = 0) get
+    # lse2 = +LARGE, which underflows every P entry to exactly 0.
+    l32 = l.astype(jnp.float32)
+    lse2 = jnp.where(
+        l32 > 0.0,
+        m.astype(jnp.float32) * jnp.float32(LOG2E)
+        + jnp.log2(jnp.maximum(l32, jnp.float32(1e-37))),
+        jnp.float32(3e38),
+    )
+    stats = jnp.stack([lse2, delta], axis=-1)
+    stats = jnp.pad(stats, ((0, 0), (0, 0), (0, STATS_LANES - 2)))
 
     def padded(x, seq_to, feat_to=None, prescale=False):
         if prescale:
@@ -308,9 +349,10 @@ def flash_backward(
         num_steps=sched.num_steps,
         has_interior=bool((sched.live & ~sched.partial).any()),
         has_partial=bool(sched.partial.any()),
+        fast_softmax=fast_softmax,
     )
     qi_spec = lambda b, qi, s, t, c, n: (b, qi, 0)
-    kv_spec = lambda b, qi, s, t, c, n: (b, t[qi, s], 0)
+    kv_spec = lambda b, qi, s, t, c, n: (b // g, t[qi, s], 0)
     dq = pl.pallas_call(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -342,21 +384,27 @@ def flash_backward(
     k_pad2 = pad_to(k_len, block_kv2)
     sched_t = build_schedule(pack, rule, block_q2, block_kv2).transpose()
 
+    n_steps_t = sched_t.num_steps
     dkv_kernel = functools.partial(
         _dkv_kernel, pack=pack, rule=rule, scale=scale,
         q_len=q_len, k_len=k_len,
         q_len_padded=q_pad2, k_len_padded=k_pad2,
-        num_steps=sched_t.num_steps,
+        num_steps=n_steps_t,
         has_interior=bool((sched_t.live & ~sched_t.partial).any()),
         has_partial=bool(sched_t.partial.any()),
+        kv_group=g,
+        fast_softmax=fast_softmax,
     )
     ki_spec = lambda b, ki, s, t, c, n: (b, ki, 0)
-    qb_spec = lambda b, ki, s, t, c, n: (b, t[ki, s], 0)
+    # q/do/stats blocks: step axis enumerates (group member, schedule step)
+    # pairs; the group member selects the query (batch·head) row.
+    qb_spec = lambda b, ki, s, t, c, n: (
+        b * g + s // n_steps_t, t[ki, s % n_steps_t], 0)
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B, sched_t.num_q_blocks, sched_t.num_steps),
+            grid=(B_kv, sched_t.num_q_blocks, g * n_steps_t),
             in_specs=[
                 pl.BlockSpec((1, block_kv2, d_pad), ki_spec),
                 pl.BlockSpec((1, block_kv2, v_d_pad), ki_spec),
@@ -374,8 +422,8 @@ def flash_backward(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, k_pad2, d_pad), in_dtype),
-            jax.ShapeDtypeStruct((B, k_pad2, v_d_pad), in_dtype),
+            jax.ShapeDtypeStruct((B_kv, k_pad2, d_pad), in_dtype),
+            jax.ShapeDtypeStruct((B_kv, k_pad2, v_d_pad), in_dtype),
         ],
         compiler_params=compiler_params,
         interpret=interpret,

@@ -131,9 +131,13 @@ def _fwd_kernel(
                     # no separate f32->bf16 cast pass.  s - m_next <= 0
                     # always, so exp2 <= 1 (no bf16 overflow); NEG_INF_F32
                     # is representable in bf16 and underflows exp2 to 0.
-                    # Measured +18% on chip (tools/exp_vpu_attrib.py); error
-                    # ~2^-9 relative, far inside the half tolerance model
-                    # (1e-3 * k_len, test_base.py:205-226).
+                    # Measured +18% on chip (tools/exp_vpu_attrib.py).
+                    # Error vs an fp64 oracle: <= ~2^-7 max-relative on O
+                    # (vs ~2^-8.5 for the exact-f32 chain on the same bf16
+                    # inputs) — pinned by tests/test_fast_softmax.py; far
+                    # inside the half tolerance model (1e-3 * k_len,
+                    # test_base.py:205-226).  Opt out per call
+                    # (fast_softmax=False) or globally (FA_FAST_SOFTMAX=0).
                     p = jnp.exp2((s - m_next).astype(jnp.bfloat16))
                     l_next = alpha * l_prev + jnp.sum(
                         p, axis=1, keepdims=True, dtype=jnp.float32)
@@ -223,7 +227,15 @@ def flash_forward(
             scale=scale, interpret=interpret, fast_softmax=fast_softmax)
         return o.astype(in_dtype), l, m
     B, q_len, d = q.shape
-    _, k_len, v_d = v.shape
+    B_kv, k_len, v_d = v.shape
+    # Grouped-query attention: when K/V carry fewer (batch·head) rows than
+    # Q, each KV row serves a contiguous group of g query rows via the
+    # BlockSpec index map (b -> b // g) — no jnp.repeat materialisation,
+    # no duplicated HBM footprint (the decode kernel's grouping scheme,
+    # serving/decode.py, applied to the training path).
+    if B % B_kv:
+        raise ValueError(f"q batch {B} not a multiple of kv batch {B_kv}")
+    g = B // B_kv
     if scale is None:
         scale = 1.0 / np.sqrt(d)
 
@@ -248,9 +260,13 @@ def flash_forward(
     num_steps = sched.num_steps
 
     if fast_softmax is None:
-        # Auto policy: bf16 softmax for 16-bit inputs (error ~2^-9 relative,
-        # inside the reference half tolerance model); exact f32 otherwise.
-        fast_softmax = jnp.dtype(in_dtype).itemsize == 2
+        # Auto policy: bf16 softmax for 16-bit inputs (error ~2^-7 max-rel
+        # vs fp64, tests/test_fast_softmax.py — inside the reference half
+        # tolerance model); exact f32 otherwise.  FA_FAST_SOFTMAX=0
+        # disables the fast chain globally (escape hatch).
+        import os
+        fast_softmax = (jnp.dtype(in_dtype).itemsize == 2
+                        and os.environ.get("FA_FAST_SOFTMAX", "1") != "0")
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -278,8 +294,10 @@ def flash_forward(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d_pad), lambda b, qi, s, t, c, n: (b, qi, 0)),
-            pl.BlockSpec((1, block_kv, d_pad), lambda b, qi, s, t, c, n: (b, t[qi, s], 0)),
-            pl.BlockSpec((1, block_kv, v_d_pad), lambda b, qi, s, t, c, n: (b, t[qi, s], 0)),
+            pl.BlockSpec((1, block_kv, d_pad),
+                         lambda b, qi, s, t, c, n: (b // g, t[qi, s], 0)),
+            pl.BlockSpec((1, block_kv, v_d_pad),
+                         lambda b, qi, s, t, c, n: (b // g, t[qi, s], 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, v_d_pad), lambda b, qi, s, t, c, n: (b, qi, 0)),

@@ -58,14 +58,14 @@ def mha(
         interpret = jax.default_backend() not in ("tpu",)
     if block_config is None:
         block_config = choose_block_config(sq, skv, pad_to(d, LANE), pad_to(d, LANE), q.dtype)
-    if hq != hkv:
-        reps = hq // hkv
-        k = jnp.repeat(k, reps, axis=1)
-        v = jnp.repeat(v, reps, axis=1)
+    # GQA runs natively in the kernels: with heads minor in the flattened
+    # batch, query row b·hq + h maps to KV row (b·hq + h) // (hq/hkv)
+    # = b·hkv + h//(hq/hkv) via the kernel's BlockSpec index map — no
+    # jnp.repeat materialisation, no duplicated KV HBM footprint.
     pack = make_sync_pack(sync_mode, (sq,), (skv,))
     qf = q.reshape(b * hq, sq, d)
-    kf = k.reshape(b * hq, skv, d)
-    vf = v.reshape(b * hq, skv, v.shape[-1])
+    kf = k.reshape(b * hkv, skv, d)
+    vf = v.reshape(b * hkv, skv, v.shape[-1])
     if scale is None:
         import numpy as _np
         scale = 1.0 / _np.sqrt(d)

@@ -107,10 +107,8 @@ def ulysses_attention_local(
         q, k, v = a2a(q), a2a(k), a2a(v)
     hq_loc, hkv_loc = hq // cp, hkv // cp
 
-    if hq_loc != hkv_loc:
-        reps = hq_loc // hkv_loc
-        k = jnp.repeat(k, reps, axis=1)
-        v = jnp.repeat(v, reps, axis=1)
+    # GQA runs natively in the kernels via the flattened-batch group index
+    # map (see parallel/sharded.mha) — no jnp.repeat materialisation.
     if block_config is None:
         block_config = choose_block_config(
             sq, skv, pad_to(d, LANE), pad_to(d, LANE), q.dtype)
@@ -123,8 +121,8 @@ def ulysses_attention_local(
     )
     o, _, _ = attend(
         q.reshape(b * hq_loc, sq, d),
-        k.reshape(b * hq_loc, skv, d),
-        v.reshape(b * hq_loc, skv, v.shape[-1]),
+        k.reshape(b * hkv_loc, skv, d),
+        v.reshape(b * hkv_loc, skv, v.shape[-1]),
         params,
     )
     o = o.reshape(b, hq_loc, sq, -1)

@@ -183,3 +183,21 @@ def test_custom_scale():
     # scale folds linearly into Q
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_solver_tracks_measured_frontier():
+    """choose_block_config must return the measured-best tile classes for
+    the benchmark shape (docs/TUNING.md) and stay within VMEM/seq caps for
+    small shapes (the analytic-ladder fallback)."""
+    from tf_flash_attention_tpu.block_sizes import choose_block_config
+
+    cfg = choose_block_config(4096, 4096, 128, 128, jnp.bfloat16)
+    assert (cfg.block_q, cfg.block_kv) == (1024, 1024)
+    assert (cfg.block_q_dq, cfg.block_kv_dq) == (1024, 512)
+    assert (cfg.block_q_dkv, cfg.block_kv_dkv) == (512, 1024)
+    # sub-tiling knobs measured dead on v5e (docs/TUNING.md): solver leaves
+    # them off
+    assert cfg.block_kv_compute is None and cfg.block_q_compute is None
+    # fallback path: tiny sequences clamp below the measured frontier
+    small = choose_block_config(128, 128, 128, 128, jnp.float32)
+    assert small.block_q <= 1024 and small.block_kv <= 1024

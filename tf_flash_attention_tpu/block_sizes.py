@@ -99,6 +99,20 @@ def _bwd_vmem_bytes(bq: int, bk: int, dp: int, vdp: int, itemsize: int) -> int:
     return kv + stream + mats + accs + stats
 
 
+# Measured-preference frontiers from the on-chip autotune sweeps
+# (tools/exp_autotune.py forward, tools/exp_bwd_tune.py backward; results
+# recorded in docs/TUNING.md).  The solver walks each list in order and
+# takes the first entry that fits the VMEM budget and sequence caps,
+# falling back to the analytic area-maximising ladder for shapes the
+# sweeps did not cover.  This closes the loop the reference's smem solver
+# closes analytically (``flash_attention.cu:1977-2067``): on TPU the
+# frontier is measured, not derived, because the Mosaic pipeline's
+# overlap behaviour is not captured by a byte-budget model.
+_FWD_PREF = [(1024, 1024), (1024, 512), (512, 512)]
+_DQ_PREF = [(1024, 512), (1024, 1024), (512, 512)]
+_DKV_PREF = [(512, 1024), (1024, 1024), (512, 512)]
+
+
 def choose_block_config(
     q_len: int,
     k_len: int,
@@ -107,18 +121,23 @@ def choose_block_config(
     dtype,
     vmem_budget: int = DEFAULT_VMEM_BUDGET,
 ) -> BlockConfig:
-    """Pick the largest tile sizes that fit the VMEM budget.
+    """Pick tile sizes: measured preference first, VMEM ladder fallback.
 
     Mirrors the role of the reference's smem solver: ``Br`` fixed by a
     hardware transaction size, ``Bc`` solved from the remaining budget
-    (``flash_attention.cu:1977-2012``).  Here both axes are solved from a
-    candidate ladder, clamped to the (padded) sequence lengths.
+    (``flash_attention.cu:1977-2012``).  Here the measured-best frontier
+    (docs/TUNING.md) is consulted first; the analytic ladder solve covers
+    anything the budget or sequence caps exclude.
     """
     itemsize = jnp.dtype(dtype).itemsize
     q_cap = max(MIN_BLOCK, pad_to(min(q_len, 2048), LANE))
     k_cap = max(MIN_BLOCK, pad_to(min(k_len, 2048), LANE))
 
-    def solve(cost_fn):
+    def solve(cost_fn, pref):
+        for bq, bk in pref:
+            if (bq <= q_cap and bk <= k_cap
+                    and cost_fn(bq, bk, d_pad, v_d_pad, itemsize) <= vmem_budget):
+                return bq, bk
         best = (MIN_BLOCK, MIN_BLOCK)
         candidates = [1024, 512, 256, 128]
         for bq in candidates:
@@ -134,10 +153,11 @@ def choose_block_config(
                         best = (bq, bk)
         return best
 
-    fq, fk = solve(_fwd_vmem_bytes)
-    bq, bk = solve(_bwd_vmem_bytes)
+    fq, fk = solve(_fwd_vmem_bytes, _FWD_PREF)
+    dq_q, dq_k = solve(_bwd_vmem_bytes, _DQ_PREF)
+    dkv_q, dkv_k = solve(_bwd_vmem_bytes, _DKV_PREF)
     return BlockConfig(
         block_q=fq, block_kv=fk,
-        block_q_dq=bq, block_kv_dq=bk,
-        block_q_dkv=bq, block_kv_dkv=bk,
+        block_q_dq=dq_q, block_kv_dq=dq_k,
+        block_q_dkv=dkv_q, block_kv_dkv=dkv_k,
     )

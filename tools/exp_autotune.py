@@ -32,18 +32,16 @@ RULE = os.environ.get("FA_RULE", "causal")
 
 CONFIGS = [
     # (block_q, block_kv, q_compute, kv_compute)
-    (2048, 2048, None, None),   # round-1 best: 133.9 TFLOP/s
-    (2048, 2048, 1024, None),
+    (1024, 1024, None, None),   # round-2 best: 0.252 ms / 170.1 TFLOP/s
+    (1024, 1024, 512, None),
+    (1024, 1024, None, 512),
+    (1024, 512, None, None),
+    (512, 1024, None, None),
+    (512, 512, None, None),
+    (2048, 1024, None, None),
+    (2048, 2048, None, None),
     (2048, 2048, 512, None),
-    (2048, 2048, 256, None),
-    (2048, 1024, 512, None),
-    (2048, 1024, 256, None),
-    (1024, 2048, 256, None),
-    (1024, 1024, 256, None),
-    (4096, 2048, 512, None),
-    (4096, 1024, 512, None),
-    (2048, 2048, 512, 1024),
-    (2048, 2048, 256, 512),
+    (1024, 2048, None, None),
 ]
 
 

@@ -2,26 +2,37 @@
 """Headline benchmark for the driver.
 
 Prints exactly ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...detail...}
 
 Headline: causal 1d flash-attention forward throughput, bf16, seq 4096,
 d = v_d = 128, flattened batch 8 (the BASELINE.json causal_1d config at a
 production head dim), measured as pure device time on the attached TPU.
 
-``vs_baseline`` is measured TFLOP/s divided by the north-star target of
-0.85 x raw bf16 MXU peak (BASELINE.md).  Note the softmax VPU chain runs
-serially with the MXU within a grid step on this hardware, so the
-practical ceiling is below raw peak: JAX's own production flash kernel
-measures ~137 TFLOP/s full / ~110 TFLOP/s causal on the same chip and
-shapes (see stderr detail), which this kernel matches/beats.
+Measurement policy (auditable by construction):
 
-Extra detail (per-config numbers, backward, ceilings) goes to stderr.
-Environment knobs: FA_BENCH_SEQ, FA_BENCH_BATCH, FA_BENCH_FAST=1 (single
-config).
+* the winning config is chosen by WALL TIME, never by TFLOP/s;
+* every config's min + median wall time goes into the JSON (``configs``
+  field) alongside both throughput pricings;
+* two pricings are always reported: ``tflops`` = scheduled MXU work at the
+  config's own live-tile granularity (what the kernel genuinely executes,
+  the reference's tile-granular costing convention,
+  ``flash_attention.cu:2090-2113``) and ``tflops_128`` = the
+  config-independent live-tile count at fixed 128x128 granularity
+  (problem-normalized; configs cannot inflate it by scheduling waste);
+* backward is timed too (``bwd`` block in the JSON), priced in USEFUL
+  gradient FLOPs — the canonical 5-GEMM count, NOT the two-kernel
+  recompute's scheduled 7 GEMMs (``flops.matmul_flops_backward``).
+
+``vs_baseline`` is the headline scheduled-MXU TFLOP/s divided by the
+north-star target of 0.85 x raw bf16 MXU peak (BASELINE.md).
+
+Per-config progress lines go to stderr.  Environment knobs: FA_BENCH_SEQ,
+FA_BENCH_BATCH, FA_BENCH_FAST=1 (single config), FA_BENCH_MODE=decode.
 """
 
 import json
 import os
+import statistics
 import sys
 
 import numpy as np
@@ -83,6 +94,20 @@ def bench_decode():
     }), flush=True)
 
 
+def _time_samples(device_time, fn, args, reps=3, n=20):
+    """Per-call wall times (seconds), one per rep.  Noise (tunnel
+    scheduling, contention) only ever adds time, so min is the physical
+    estimate; median is reported for auditability."""
+    samples = []
+    for _ in range(reps):
+        try:
+            samples.append(device_time(fn, args, n=n))
+        except Exception as e:  # pragma: no cover
+            log(f"  sample FAILED {str(e)[:120]}")
+            return []
+    return samples
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -93,10 +118,12 @@ def main():
 
     import tf_flash_attention_tpu  # noqa: F401  (package import check)
     from tf_flash_attention_tpu.block_sizes import BlockConfig
-    from tf_flash_attention_tpu.flops import matmul_flops_forward
-    from tf_flash_attention_tpu.mask_rules import CausalRule, FullRule
-    from tf_flash_attention_tpu.ops.forward import flash_forward
+    from tf_flash_attention_tpu.flops import (
+        matmul_flops_backward, matmul_flops_forward)
+    from tf_flash_attention_tpu.mask_rules import CausalRule
     from tf_flash_attention_tpu.ops.backward import flash_backward
+    from tf_flash_attention_tpu.ops.forward import flash_forward
+    from tf_flash_attention_tpu.schedule import build_schedule
     from tf_flash_attention_tpu.sync_modes import make_sync_pack
     from tf_flash_attention_tpu.utils.profiling import V5E, device_time
 
@@ -113,53 +140,112 @@ def main():
     pack = make_sync_pack("none_front", (S,), (S,))
     rule = CausalRule()
 
-    configs = [(2048, 1024)] if fast else [(2048, 1024), (1024, 1024), (2048, 2048)]
-    best_tflops, best_cfg, best_ms = 0.0, None, None
+    # Config-independent pricing: live-tile FLOPs at fixed 128x128 tiles.
+    flops_128 = matmul_flops_forward(rule, "none_front", (S,), (S,), D, D, B)
+
+    configs = [(1024, 1024)] if fast else [(2048, 1024), (1024, 1024), (2048, 2048)]
+    table = []
     for bq, bk in configs:
         bq_c, bk_c = min(bq, S), min(bk, S)
         cfg = BlockConfig(bq_c, bk_c, bq_c, bk_c, bq_c, bk_c)
         fn = lambda q, k, v: flash_forward(q, k, v, pack=pack, rule=rule, config=cfg)[0]
-        flops = matmul_flops_forward(rule, "none_front", (S,), (S,), D, D, B, bq_c, bk_c)
-        samples = []
-        for _ in range(3):
-            try:
-                dt = device_time(fn, (q, k, v))
-            except Exception as e:  # pragma: no cover
-                log(f"causal fwd {bq}x{bk}: FAILED {str(e)[:120]}")
-                break
-            tf_s = flops / dt / 1e12
-            if tf_s <= 197.0:  # physically possible samples only
-                samples.append((dt, tf_s))
+        flops_sched = matmul_flops_forward(
+            rule, "none_front", (S,), (S,), D, D, B, bq_c, bk_c)
+        samples = _time_samples(device_time, fn, (q, k, v))
         if not samples:
+            log(f"causal fwd {bq_c}x{bk_c}: FAILED")
             continue
-        # noise (tunnel scheduling, contention) only ever adds time: take
-        # the fastest physically-possible sample
-        dt, tflops = min(samples)
-        log(f"causal fwd {bq}x{bk}: {dt*1e3:.3f} ms  {tflops:.1f} TFLOP/s "
-            f"(best of {len(samples)})")
-        if tflops > best_tflops:
-            best_tflops, best_cfg, best_ms = tflops, (bq_c, bk_c), dt * 1e3
+        dt, dt_med = min(samples), statistics.median(samples)
+        row = {
+            "config": [bq_c, bk_c],
+            "ms_min": round(dt * 1e3, 4),
+            "ms_median": round(dt_med * 1e3, 4),
+            "tflops": round(flops_sched / dt / 1e12, 1),
+            "tflops_128": round(flops_128 / dt / 1e12, 1),
+        }
+        table.append(row)
+        log(f"causal fwd {bq_c}x{bk_c}: min {row['ms_min']} ms / median "
+            f"{row['ms_median']} ms  {row['tflops']} TFLOP/s scheduled, "
+            f"{row['tflops_128']} TFLOP/s at 128x128 pricing "
+            f"({len(samples)} samples)")
+
+    if not table:
+        print(json.dumps({"metric": "causal_1d fwd bf16 TFLOP/s/chip",
+                          "value": 0, "unit": "TFLOP/s", "vs_baseline": 0}),
+              flush=True)
+        return
+
+    # Selection is by WALL TIME only.
+    best = min(table, key=lambda r: r["ms_min"])
+    best_cfg = tuple(best["config"])
+    best_tflops = best["tflops"]
 
     # ceilings for context
-    flops = matmul_flops_forward(rule, "none_front", (S,), (S,), D, D, B, *best_cfg)
-    from tf_flash_attention_tpu.schedule import build_schedule
+    flops_best = matmul_flops_forward(
+        rule, "none_front", (S,), (S,), D, D, B, *best_cfg)
     live = build_schedule(pack, rule, *best_cfg).live.sum()
     softmax_elems = float(live) * best_cfg[0] * best_cfg[1] * B
     hbm = 4 * B * S * D * jnp.dtype(dtype).itemsize
-    t_serial = V5E.attention_ceiling_serial(flops, softmax_elems, hbm, dtype)
-    t_overlap = V5E.attention_ceiling_overlap(flops, softmax_elems, hbm, dtype)
-    log(f"ceilings: serial-model {flops/t_serial/1e12:.1f} TFLOP/s, "
-        f"overlap-model {flops/t_overlap/1e12:.1f} TFLOP/s, raw peak 197")
-    log(f"best: {best_cfg} {best_ms:.3f} ms {best_tflops:.1f} TFLOP/s "
-        f"= {best_tflops/197:.0%} of raw bf16 peak, "
-        f"{best_tflops*1e12*t_serial/flops:.0%} of serial-model ceiling")
+    t_serial = V5E.attention_ceiling_serial(flops_best, softmax_elems, hbm, dtype)
+    log(f"ceilings: serial-model {flops_best/t_serial/1e12:.1f} TFLOP/s, "
+        f"raw bf16 peak 197")
+    log(f"best (by wall time): {best_cfg} {best['ms_min']} ms = "
+        f"{best_tflops:.1f} TFLOP/s scheduled / {best['tflops_128']} TFLOP/s "
+        f"at 128x128 pricing ({best_tflops/197:.0%} of raw bf16 peak)")
+
+    # ---- backward: both kernels (dQ + dK/dV), priced in useful gradient
+    # FLOPs (5-GEMM count, no recompute credit).  Reference timing parity:
+    # internal_test.cu:278-279,566-567 times forward AND backward.
+    o, l, m = jax.block_until_ready(jax.jit(
+        lambda q, k, v: flash_forward(
+            q, k, v, pack=pack, rule=rule,
+            config=BlockConfig(*best_cfg, *best_cfg, *best_cfg)))(q, k, v))
+    bwd_flops = matmul_flops_backward(rule, "none_front", (S,), (S,), D, D, B)
+    bwd_configs = ([(1024, 512, 512, 1024)] if fast
+                   else [(1024, 512, 512, 1024), (1024, 1024, 1024, 1024)])
+    bwd_table = []
+    for bq1, bk1, bq2, bk2 in bwd_configs:
+        cfg = BlockConfig(best_cfg[0], best_cfg[1],
+                          min(bq1, S), min(bk1, S), min(bq2, S), min(bk2, S))
+        fnb = lambda q, k, v, o, l, m, do: flash_backward(
+            q, k, v, o, l, m, do, pack=pack, rule=rule, config=cfg)
+        samples = _time_samples(device_time, fnb, (q, k, v, o, l, m, k), n=10)
+        if not samples:
+            log(f"causal bwd dq={bq1}x{bk1} dkv={bq2}x{bk2}: FAILED")
+            continue
+        dt, dt_med = min(samples), statistics.median(samples)
+        row = {
+            "config": [bq1, bk1, bq2, bk2],
+            "ms_min": round(dt * 1e3, 4),
+            "ms_median": round(dt_med * 1e3, 4),
+            "tflops_useful": round(bwd_flops / dt / 1e12, 1),
+        }
+        bwd_table.append(row)
+        log(f"causal bwd dq={bq1}x{bk1} dkv={bq2}x{bk2}: min {row['ms_min']} ms"
+            f" / median {row['ms_median']} ms  {row['tflops_useful']} "
+            f"useful TFLOP/s")
+    bwd_best = min(bwd_table, key=lambda r: r["ms_min"]) if bwd_table else None
+    if bwd_best:
+        log(f"bwd best (by wall time): {tuple(bwd_best['config'])} "
+            f"{bwd_best['ms_min']} ms = {bwd_best['tflops_useful']} useful "
+            f"TFLOP/s")
 
     target = 0.85 * 197.0
     print(json.dumps({
         "metric": "causal_1d fwd bf16 TFLOP/s/chip (S=%d, d=128, B=%d)" % (S, B),
-        "value": round(best_tflops, 1),
+        "value": best_tflops,
         "unit": "TFLOP/s",
         "vs_baseline": round(best_tflops / target, 3),
+        "pricing": "scheduled MXU work at the winning config's live-tile "
+                   "granularity; tflops_128 = config-independent 128x128 "
+                   "pricing; selection by wall time",
+        "fwd_tflops_128": best["tflops_128"],
+        "fwd_ms": best["ms_min"],
+        "configs": table,
+        "bwd": {"tflops_useful": bwd_best["tflops_useful"],
+                "ms": bwd_best["ms_min"],
+                "config": bwd_best["config"],
+                "configs": bwd_table} if bwd_best else None,
     }), flush=True)
 
 

@@ -38,6 +38,7 @@ from .sync_modes import make_sync_pack
 __all__ = [
     "estimate_forward_flops",
     "matmul_flops_forward",
+    "matmul_flops_backward",
     "estimate_full_attention_forward1d_flops",
     "estimate_causal_attention_forward1d_flops",
     "estimate_local_attention_forward1d_flops",
@@ -110,6 +111,35 @@ def matmul_flops_forward(
     live, _, _ = _live_tile_grid(pack, rule, q_len, k_len, block_q, block_kv)
     n_live = int(live.sum())
     return float(2.0 * block_q * block_kv * (d + v_d) * n_live * batch)
+
+
+def matmul_flops_backward(
+    rule: MaskRule,
+    sync_mode: str,
+    q_seq,
+    k_seq,
+    d: int,
+    v_d: int,
+    batch: int,
+    block_q: int = 128,
+    block_kv: int = 128,
+) -> float:
+    """Useful gradient MXU FLOPs: the canonical 5-GEMM backward count
+    ``2·Br·Bc·(3d + 2·v_d)`` per live tile (QKᵀ recompute, dV += Pᵀ·dO,
+    dP = dO·Vᵀ, dQ += dS·K, dK += dSᵀ·Q — the reference's backward GEMM
+    set, ``flash_attention.cu:1851-1940``).
+
+    Deliberately does NOT credit the two-kernel split's duplicated QKᵀ and
+    dO·Vᵀ recompute (7 GEMMs scheduled): benchmark numbers priced with
+    this function measure delivered gradient throughput, not scheduled MXU
+    occupancy.  Default 128×128 tiles give a config-independent count.
+    """
+    pack = make_sync_pack(sync_mode, q_seq, k_seq)
+    q_len = int(np.prod(q_seq))
+    k_len = int(np.prod(k_seq))
+    live, _, _ = _live_tile_grid(pack, rule, q_len, k_len, block_q, block_kv)
+    n_live = int(live.sum())
+    return float(2.0 * block_q * block_kv * (3 * d + 2 * v_d) * n_live * batch)
 
 
 def _shapes_from_channel_first(Q_shape, K_shape, V_shape, seq_dims):

@@ -82,8 +82,10 @@ def greedy_dense(params, prompt, n_new):
     return toks
 
 
+# Deliberately NOT slow-marked: the one whole-engine greedy-parity check
+# that always runs in the default (fast) tier, so serving regressions
+# cannot hide behind the `-m 'not slow'` default (ADVICE.md round 2).
 @pytest.mark.parametrize("quantized", [False])
-@pytest.mark.slow
 def test_engine_matches_dense_greedy(quantized):
     params = init_params(MCFG, jax.random.PRNGKey(0))
     ecfg = EngineConfig(max_seqs=3, page_size=64, n_pages=32,

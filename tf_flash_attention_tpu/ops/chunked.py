@@ -241,6 +241,9 @@ def _attend_xla_fwd(q, k, v, pack, rule, scale, block_q, block_kv):
 
 def _attend_xla_bwd(pack, rule, scale, block_q, block_kv, res, cts):
     q, k, v, o, lv, mv = res
+    # o-cotangent only: l/m cotangents are dropped by convention — they are
+    # backward-pass caches, not differentiable outputs (same contract as
+    # attend(); reference: flash_attention.py:382-384 ignores l/m grads).
     do = cts[0]
     B, q_len, d = q.shape
     k_len = v.shape[1]
@@ -273,12 +276,27 @@ def flash_attention_xla(
 
     Same ``(B, seq, channel) -> (o, l, m)`` contract as
     :func:`ops.forward.flash_forward`, computed entirely in the input dtype
-    (float64 runs at the reference's 1e-9 internal-test precision class,
-    ``internal_test.cu:15-28``).
+    for >= 32-bit inputs (float64 runs at the reference's 1e-9
+    internal-test precision class, ``internal_test.cu:15-28``).  Sub-32-bit
+    inputs are upcast to float32 for the whole recurrence — the online
+    (m, l, acc) carries must not run at half precision (the Pallas kernels
+    keep them at f32 too) — with ``o`` cast back to the input dtype and
+    ``l``/``m`` returned in float32.
+
+    Gradients propagate from the ``o`` cotangent only; ``l``/``m``
+    cotangents are dropped (they are backward caches, the same convention
+    as :func:`ops.attend.attend` and the reference's gradient registration,
+    ``flash_attention.py:382-384``).
     """
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
     block_q = min(block_q, pad_to(q.shape[1], 8))
     block_kv = min(block_kv, pad_to(v.shape[1], 8))
+    in_dtype = q.dtype
+    if jnp.dtype(in_dtype).itemsize < 4:
+        f32 = lambda x: x.astype(jnp.float32)
+        o, l, m = _attend_xla(f32(q), f32(k), f32(v), pack, rule,
+                              float(scale), int(block_q), int(block_kv))
+        return o.astype(in_dtype), l, m
     return _attend_xla(q, k, v, pack, rule, float(scale),
                        int(block_q), int(block_kv))

@@ -21,7 +21,11 @@ Measurement policy (auditable by construction):
   (problem-normalized; configs cannot inflate it by scheduling waste);
 * backward is timed too (``bwd`` block in the JSON), priced in USEFUL
   gradient FLOPs — the canonical 5-GEMM count, NOT the two-kernel
-  recompute's scheduled 7 GEMMs (``flops.matmul_flops_backward``).
+  recompute's scheduled 7 GEMMs (``flops.matmul_flops_backward``);
+* a dense bf16 4096^3 matmul is timed first and reported as
+  ``mxu_ref_tflops`` — an independent probe of the chip/tunnel state at
+  measurement time (observed bimodal across rounds; see docs/TUNING.md),
+  so a throttled-chip run is auditable against its own measured peak.
 
 ``vs_baseline`` is the headline scheduled-MXU TFLOP/s divided by the
 north-star target of 0.85 x raw bf16 MXU peak (BASELINE.md).
@@ -94,6 +98,33 @@ def bench_decode():
     }), flush=True)
 
 
+def _mxu_reference(device_time):
+    """Measured raw bf16 matmul throughput (TFLOP/s) at benchmark time.
+
+    The attached chip's achievable MXU rate varies with host/tunnel state
+    (observed bimodal across rounds: the identical compiled kernel measures
+    0.25 ms in one state and 0.41 ms in another).  A dense 4096^3 matmul is
+    the cleanest independent probe of that state, reported alongside the
+    kernel numbers so any throttled-chip round is auditable: compare
+    ``value`` against ``mxu_ref_tflops``, not just the nominal 197 peak.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.uniform(-1, 1, (4096, 4096)), jnp.bfloat16)
+    b = jnp.asarray(rng.uniform(-1, 1, (4096, 4096)), jnp.bfloat16)
+    f = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    try:
+        dt = min(device_time(f, (a, b), n=20) for _ in range(3))
+    except Exception as e:  # pragma: no cover
+        log(f"mxu reference probe FAILED {str(e)[:120]}")
+        return None
+    return round(2 * 4096**3 / dt / 1e12, 1)
+
+
 def _time_samples(device_time, fn, args, reps=3, n=20):
     """Per-call wall times (seconds), one per rep.  Noise (tunnel
     scheduling, contention) only ever adds time, so min is the physical
@@ -134,6 +165,9 @@ def main():
     dtype = jnp.bfloat16
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    mxu_ref = _mxu_reference(device_time)
+    log(f"mxu reference (dense bf16 4096^3 matmul): {mxu_ref} TFLOP/s "
+        f"of nominal 197 — chip-state yardstick for this run")
     rng = np.random.default_rng(0)
     t = lambda s: jnp.asarray(rng.uniform(-1, 1, s), dtype)
     q, k, v = t((B, S, D)), t((B, S, D)), t((B, S, D))
@@ -241,6 +275,7 @@ def main():
                    "pricing; selection by wall time",
         "fwd_tflops_128": best["tflops_128"],
         "fwd_ms": best["ms_min"],
+        "mxu_ref_tflops": mxu_ref,
         "configs": table,
         "bwd": {"tflops_useful": bwd_best["tflops_useful"],
                 "ms": bwd_best["ms_min"],

@@ -45,14 +45,16 @@ def measured():
     t = lambda s: jnp.asarray(rng.uniform(-1, 1, s), jnp.bfloat16)
     q, k, v, do = t((B, S, D)), t((B, S, D)), t((B, S, D)), t((B, S, D))
     pack = make_sync_pack("none_front", (S,), (S,))
-    cfg = BlockConfig(2048, 1024, 1024, 1024, 1024, 1024)
+    # measured-best frontier (docs/TUNING.md): fwd 1024x1024, dq 1024x512,
+    # dkv 512x1024
+    cfg = BlockConfig(1024, 1024, 1024, 512, 512, 1024)
     params = AttendParams(pack=pack, rule=CausalRule(), config=cfg,
                           scale=float(1 / np.sqrt(D)), interpret=False)
 
     fwd = lambda q, k, v: attend(q, k, v, params)[0]
     dt = device_time(fwd, (q, k, v))
     flops = matmul_flops_forward(CausalRule(), "none_front", (S,), (S,), D, D, B,
-                                 2048, 1024)
+                                 1024, 1024)
     print(f"  causal fwd bf16 S={S}: {dt*1e3:.3f} ms  {flops/dt/1e12:.1f} TFLOP/s")
 
     def fwdbwd(q, k, v):
@@ -65,6 +67,37 @@ def measured():
     live = int(build_schedule(pack, CausalRule(), 1024, 1024).live.sum())
     total = 9 * 2 * 1024 * 1024 * D * live * B
     print(f"  causal fwd+bwd bf16 S={S}: {dt2*1e3:.3f} ms  {total/dt2/1e12:.1f} TFLOP/s")
+
+    # Whole-model training throughput (tokens/s/chip) — the measured tier
+    # of the BASELINE.json tokens/s-scaling north star.  Flagship LM at
+    # engine_bench's ~168M size (8L x 1024d, GQA off, causal flash
+    # attention throughout), full optax-adamw train step.
+    import functools
+    import optax
+    from tf_flash_attention_tpu.models.transformer import (
+        ModelConfig, init_params, train_step)
+
+    BT, ST = 8, 2048
+    cfgm = ModelConfig(vocab=32768, d_model=1024, n_layers=8, n_heads=8,
+                       n_kv_heads=8, d_head=128, d_ff=4096, max_seq=ST)
+    mp = init_params(cfgm, jax.random.PRNGKey(0))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(mp))
+    opt = optax.adamw(1e-3)
+    ost = opt.init(mp)
+    toks = jnp.asarray(rng.integers(0, cfgm.vocab, (BT, ST + 1)), jnp.int32)
+    stepf = functools.partial(train_step, cfgm, optimizer=opt)
+    fn = lambda toks: stepf(mp, ost, toks)
+    dt3 = device_time(fn, (toks,), n=5)
+    toks_step = BT * ST
+    # 6ND model FLOPs + attention matmul FLOPs (fwd 2 GEMMs + bwd 7
+    # scheduled across the recompute split = 4.5x the fwd pair per layer)
+    flops_model = 6.0 * n_params * toks_step
+    att = matmul_flops_forward(CausalRule(), "none_front", (ST,), (ST,),
+                               128, 128, BT * cfgm.n_heads) * cfgm.n_layers
+    mfu = (flops_model + 4.5 * att) / dt3 / 197e12
+    print(f"  train step {n_params/1e6:.0f}M-param LM (B={BT}, S={ST}): "
+          f"{dt3*1e3:.1f} ms = {toks_step/dt3:,.0f} tokens/s/chip "
+          f"({mfu:.0%} MFU vs raw bf16 peak)")
     print("  decode: run FA_BENCH_MODE=decode python bench.py")
 
 

@@ -155,9 +155,15 @@ def run_fuzz(case, sync_mode, seq_dims, dtype):
         # the dense f32 XLA oracle shows 5e-6 (forward O: 2e-6) — inside
         # the reference's own 2.56e-4 minimum envelope, and the reference's
         # stored-(l, m) backward shares the same amplification structure.
-        # See docs/PARITY.md "fp32 gradient error floor".
+        # See docs/PARITY.md "fp32 gradient error floor".  The floor is
+        # fp32-only: the measured-error evidence behind it is fp32, and the
+        # other two dtypes don't need it (bf16's 1e-3 base alone covers the
+        # measured absolute floor at any n; the f64 path is chunked XLA vs
+        # a dense f64 oracle with ~1e-12 error), so flooring them would
+        # just discard the tightest gradient checks.
+        floor = (lambda n: max(n, 256)) if dtype == jnp.float32 else (lambda n: n)
         for name, a, b, n in zip("QKV", g1, g2, (n_k, n_q, n_q)):
-            close(a, b, max(n, 256), f"d{name}")
+            close(a, b, floor(n), f"d{name}")
 
 
 @pytest.mark.slow

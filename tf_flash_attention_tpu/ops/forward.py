@@ -55,11 +55,7 @@ STATS_LANES = 8
 
 
 def _fwd_kernel(
-    table_ref, counts_ref, needs_ref,   # scalar prefetch
-    q_ref, k_ref, v_ref,                # inputs
-    o_ref, stats_ref,                   # outputs
-    acc_ref, m_scratch, l_scratch,      # VMEM scratch
-    *,
+    *refs,
     pack: SyncPack,
     rule: MaskRule,
     q_len: int,
@@ -71,18 +67,93 @@ def _fwd_kernel(
     has_partial: bool,
     kv_compute: int,
     q_compute: int,
+    sub_skip: bool,
     fast_softmax: bool,
 ):
+    if sub_skip:
+        (table_ref, counts_ref, needs_ref, sub_live_ref, sub_needs_ref,
+         q_ref, k_ref, v_ref, o_ref, stats_ref,
+         acc_ref, m_scratch, l_scratch) = refs
+    else:
+        (table_ref, counts_ref, needs_ref,
+         q_ref, k_ref, v_ref, o_ref, stats_ref,
+         acc_ref, m_scratch, l_scratch) = refs
     qi = pl.program_id(1)
     step = pl.program_id(2)
     block_q = q_ref.shape[1]
     block_kv = k_ref.shape[1]
+    rk = block_kv // kv_compute
 
     @pl.when(step == 0)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, NEG_INF_F32)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def sub_body(jq: int, j: int, masked: bool):
+        """One (q_compute, kv_compute) sub-tile of the online softmax."""
+        qs = slice(jq * q_compute, (jq + 1) * q_compute)
+        sl = slice(j * kv_compute, (j + 1) * kv_compute)
+        # Q arrives pre-scaled by scale*log2(e) (one fused XLA pass
+        # over the (B, q, d) tensor), so the matmul lands directly in
+        # log2-domain logits — no per-(bq, bk)-tile VPU multiply.
+        s = jax.lax.dot_general(
+            q_ref[0, qs, :], k_ref[0, sl, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(q_ref.dtype),
+        )
+        if masked:
+            kb = table_ref[qi, step]
+            q_pos = qi * block_q + jq * q_compute + jax.lax.broadcasted_iota(
+                jnp.int32, (q_compute, 1), 0)
+            k_pos = kb * block_kv + j * kv_compute + jax.lax.broadcasted_iota(
+                jnp.int32, (1, kv_compute), 1)
+            mask = build_tile_mask(
+                pack, rule, q_pos, k_pos, q_len, k_len,
+                q_len_padded, k_len_padded,
+            )
+            if mask is not None:
+                s = jnp.where(mask, s, NEG_INF_F32)
+
+        m_prev = m_scratch[qs, :1]
+        l_prev = l_scratch[qs, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        # Masked entries hold exactly NEG_INF_F32; for any row with
+        # a real max, exp2(NEG - m) underflows to 0, so no re-select
+        # is needed.  Fully-masked rows (m still NEG) are repaired
+        # in _finalize.
+        if fast_softmax:
+            # 16-bit inputs: the (s - m) shift and exp2 run at bf16
+            # VPU width and the PV matmul consumes p directly with
+            # no separate f32->bf16 cast pass.  s - m_next <= 0
+            # always, so exp2 <= 1 (no bf16 overflow); NEG_INF_F32
+            # is representable in bf16 and underflows exp2 to 0.
+            # Measured +18% on chip (tools/exp_vpu_attrib.py).
+            # Error vs an fp64 oracle: <= ~2^-7 max-relative on O
+            # (vs ~2^-8.5 for the exact-f32 chain on the same bf16
+            # inputs) — pinned by tests/test_fast_softmax.py; far
+            # inside the half tolerance model (1e-3 * k_len,
+            # test_base.py:205-226).  Opt out per call
+            # (fast_softmax=False) or globally (FA_FAST_SOFTMAX=0).
+            p = jnp.exp2((s - m_next).astype(jnp.bfloat16))
+            l_next = alpha * l_prev + jnp.sum(
+                p, axis=1, keepdims=True, dtype=jnp.float32)
+        else:
+            p = jnp.exp2(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[qs, :] = jnp.broadcast_to(
+            m_next, (q_compute, m_scratch.shape[1]))
+        l_scratch[qs, :] = jnp.broadcast_to(
+            l_next, (q_compute, l_scratch.shape[1]))
+
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, sl, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=dot_precision(v_ref.dtype),
+        )
+        acc_ref[qs, :] = acc_ref[qs, :] * alpha + pv
 
     def update(masked: bool):
         # Sub-tile loops.  kv sub-tiles form *dependent* chains (through the
@@ -91,70 +162,32 @@ def _fwd_kernel(
         # scheduler freedom to overlap one sub-block's matmul with
         # another's VPU softmax.
         for jq in range(block_q // q_compute):
-            qs = slice(jq * q_compute, (jq + 1) * q_compute)
-            q = q_ref[0, qs, :]
-            for j in range(block_kv // kv_compute):
-                sl = slice(j * kv_compute, (j + 1) * kv_compute)
-                # Q arrives pre-scaled by scale*log2(e) (one fused XLA pass
-                # over the (B, q, d) tensor), so the matmul lands directly in
-                # log2-domain logits — no per-(bq, bk)-tile VPU multiply.
-                s = jax.lax.dot_general(
-                    q, k_ref[0, sl, :], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=dot_precision(q.dtype),
-                )
-                if masked:
-                    kb = table_ref[qi, step]
-                    q_pos = qi * block_q + jq * q_compute + jax.lax.broadcasted_iota(
-                        jnp.int32, (q_compute, 1), 0)
-                    k_pos = kb * block_kv + j * kv_compute + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, kv_compute), 1)
-                    mask = build_tile_mask(
-                        pack, rule, q_pos, k_pos, q_len, k_len,
-                        q_len_padded, k_len_padded,
-                    )
-                    if mask is not None:
-                        s = jnp.where(mask, s, NEG_INF_F32)
+            for j in range(rk):
+                sub_body(jq, j, masked)
 
-                m_prev = m_scratch[qs, :1]
-                l_prev = l_scratch[qs, :1]
-                m_curr = jnp.max(s, axis=1, keepdims=True)
-                m_next = jnp.maximum(m_prev, m_curr)
-                alpha = jnp.exp2(m_prev - m_next)
-                # Masked entries hold exactly NEG_INF_F32; for any row with
-                # a real max, exp2(NEG - m) underflows to 0, so no re-select
-                # is needed.  Fully-masked rows (m still NEG) are repaired
-                # in _finalize.
-                if fast_softmax:
-                    # 16-bit inputs: the (s - m) shift and exp2 run at bf16
-                    # VPU width and the PV matmul consumes p directly with
-                    # no separate f32->bf16 cast pass.  s - m_next <= 0
-                    # always, so exp2 <= 1 (no bf16 overflow); NEG_INF_F32
-                    # is representable in bf16 and underflows exp2 to 0.
-                    # Measured +18% on chip (tools/exp_vpu_attrib.py).
-                    # Error vs an fp64 oracle: <= ~2^-7 max-relative on O
-                    # (vs ~2^-8.5 for the exact-f32 chain on the same bf16
-                    # inputs) — pinned by tests/test_fast_softmax.py; far
-                    # inside the half tolerance model (1e-3 * k_len,
-                    # test_base.py:205-226).  Opt out per call
-                    # (fast_softmax=False) or globally (FA_FAST_SOFTMAX=0).
-                    p = jnp.exp2((s - m_next).astype(jnp.bfloat16))
-                    l_next = alpha * l_prev + jnp.sum(
-                        p, axis=1, keepdims=True, dtype=jnp.float32)
-                else:
-                    p = jnp.exp2(s - m_next)
-                    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-                m_scratch[qs, :] = jnp.broadcast_to(
-                    m_next, (q_compute, m_scratch.shape[1]))
-                l_scratch[qs, :] = jnp.broadcast_to(
-                    l_next, (q_compute, l_scratch.shape[1]))
+    def update_bitmask():
+        # Sub-tile-skip path for partially-visible tiles: the trace-time
+        # schedule provides per-sub-tile live/needs-mask bitmask words, so
+        # a masked-out (q_compute, kv_compute) sub-tile of a live tile is
+        # never scheduled on the MXU at all.  For a causal diagonal tile
+        # this deletes the ~half of the tile area above the diagonal that
+        # the dense-tile path pays as padding waste; interior sub-tiles of
+        # a partial tile also skip mask construction.
+        for jq in range(block_q // q_compute):
+            for j in range(rk):
+                bit = jq * rk + j
+                word_l = sub_live_ref[qi, step, bit // 32]
+                word_n = sub_needs_ref[qi, step, bit // 32]
+                live_b = ((word_l >> (bit % 32)) & 1) != 0
+                needs_b = ((word_n >> (bit % 32)) & 1) != 0
 
-                pv = jax.lax.dot_general(
-                    p.astype(v_ref.dtype), v_ref[0, sl, :],
-                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                    precision=dot_precision(v_ref.dtype),
-                )
-                acc_ref[qs, :] = acc_ref[qs, :] * alpha + pv
+                @pl.when(live_b & needs_b)
+                def _masked_sub(jq=jq, j=j):
+                    sub_body(jq, j, True)
+
+                @pl.when(live_b & jnp.logical_not(needs_b))
+                def _interior_sub(jq=jq, j=j):
+                    sub_body(jq, j, False)
 
     in_bounds = step < counts_ref[qi]
     if has_partial and has_interior:
@@ -162,7 +195,7 @@ def _fwd_kernel(
 
         @pl.when(in_bounds & needs)
         def _masked():
-            update(True)
+            update_bitmask() if sub_skip else update(True)
 
         @pl.when(in_bounds & jnp.logical_not(needs))
         def _interior():
@@ -170,7 +203,10 @@ def _fwd_kernel(
     else:
         @pl.when(in_bounds)
         def _only():
-            update(has_partial)
+            if has_partial and sub_skip:
+                update_bitmask()
+            else:
+                update(has_partial)
 
     @pl.when(step == num_steps - 1)
     def _finalize():
@@ -256,8 +292,14 @@ def flash_forward(
     kp = jnp.pad(k, ((0, 0), (0, k_pad - k_len), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, k_pad - k_len), (0, v_d_pad - v_d)))
 
-    sched = build_schedule(pack, rule, block_q, block_kv)
+    kv_compute = min(config.block_kv_compute or block_kv, block_kv)
+    q_compute = min(config.block_q_compute or block_q, block_q)
+    sched = build_schedule(pack, rule, block_q, block_kv,
+                           q_compute=q_compute, kv_compute=kv_compute)
     num_steps = sched.num_steps
+    # Sub-tile skipping engages whenever compute sub-tiling is active and
+    # the schedule has partially-visible tiles to prune inside.
+    sub_skip = (sched.sub_live is not None and bool(sched.partial.any()))
 
     if fast_softmax is None:
         # Auto policy: bf16 softmax for 16-bit inputs (error ~2^-7 max-rel
@@ -279,8 +321,9 @@ def flash_forward(
         num_steps=num_steps,
         has_interior=bool((sched.live & ~sched.partial).any()),
         has_partial=bool(sched.partial.any()),
-        kv_compute=min(config.block_kv_compute or block_kv, block_kv),
-        q_compute=min(config.block_q_compute or block_q, block_q),
+        kv_compute=kv_compute,
+        q_compute=q_compute,
+        sub_skip=sub_skip,
         fast_softmax=bool(fast_softmax),
     )
 
@@ -289,19 +332,21 @@ def flash_forward(
         jax.ShapeDtypeStruct((B, q_pad, v_d_pad), in_dtype),
         jax.ShapeDtypeStruct((B, q_pad, STATS_LANES), jnp.float32),
     )
+    # Index maps take the scalar-prefetch refs as trailing args; *p keeps
+    # them arity-agnostic across the 3- and 5-ref (sub-tile skip) layouts.
+    qi_map = lambda b, qi, s, *p: (b, qi, 0)
+    kv_map = lambda b, qi, s, *p: (b // g, p[0][qi, s], 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5 if sub_skip else 3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda b, qi, s, t, c, n: (b, qi, 0)),
-            pl.BlockSpec((1, block_kv, d_pad),
-                         lambda b, qi, s, t, c, n: (b // g, t[qi, s], 0)),
-            pl.BlockSpec((1, block_kv, v_d_pad),
-                         lambda b, qi, s, t, c, n: (b // g, t[qi, s], 0)),
+            pl.BlockSpec((1, block_q, d_pad), qi_map),
+            pl.BlockSpec((1, block_kv, d_pad), kv_map),
+            pl.BlockSpec((1, block_kv, v_d_pad), kv_map),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, v_d_pad), lambda b, qi, s, t, c, n: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, STATS_LANES), lambda b, qi, s, t, c, n: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, v_d_pad), qi_map),
+            pl.BlockSpec((1, block_q, STATS_LANES), qi_map),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, v_d_pad), jnp.float32),
@@ -314,14 +359,24 @@ def flash_forward(
     # analog of the reference's OpStats("flops") registration
     # (flash_attention.py:499-562): the model that priced the op for TF's
     # grappler here informs XLA's scheduling of the custom call.
-    n_live = int(sched.live.sum())
+    if sub_skip:
+        # Sub-tile skipping prunes scheduled area below tile granularity.
+        n_live = int(sched.fine_live.sum())
+        area = q_compute * kv_compute
+    else:
+        n_live = int(sched.live.sum())
+        area = block_q * block_kv
     cost = pl.CostEstimate(
-        flops=2 * block_q * block_kv * (d_pad + v_d_pad) * n_live * B,
+        flops=2 * area * (d_pad + v_d_pad) * n_live * B,
         bytes_accessed=int(qp.nbytes + kp.nbytes + vp.nbytes
                            + B * q_pad * v_d_pad * qp.dtype.itemsize),
-        transcendentals=block_q * block_kv * n_live * B,
+        transcendentals=area * n_live * B,
     )
 
+    prefetch = [jnp.asarray(sched.kv_table), jnp.asarray(sched.kv_counts),
+                jnp.asarray(sched.needs_mask)]
+    if sub_skip:
+        prefetch += [jnp.asarray(sched.sub_live), jnp.asarray(sched.sub_needs)]
     o, stats = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -332,8 +387,7 @@ def flash_forward(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(jnp.asarray(sched.kv_table), jnp.asarray(sched.kv_counts),
-      jnp.asarray(sched.needs_mask), qp, kp, vp)
+    )(*prefetch, qp, kp, vp)
 
     return (
         o[:, :q_len, :v_d],

@@ -86,6 +86,18 @@ class Schedule:
     in-kernel element mask (partial visibility or sequence-padding edge),
     0 when it is provably fully visible and in-bounds.
     ``num_steps = kv_table.shape[1]`` is the static inner grid size.
+
+    When built with compute sub-tiling (``q_compute``/``kv_compute`` finer
+    than the block sizes), ``sub_live``/``sub_needs`` carry the same two
+    classifications at *sub-tile* granularity as packed bitmask words of
+    shape ``(num_rows, num_steps, n_words)``: bit ``jq·rk + j`` of the
+    flattened word array describes sub-tile ``(jq, j)`` of the visited
+    tile (``rq = block_q // q_compute``, ``rk = block_kv // kv_compute``;
+    ``sub_shape = (rq, rk)``).  The kernels use these to skip masked-out
+    *sub*-tiles of a live tile — the diagonal of a causal mask at large
+    block sizes stops being scheduled as dense work (the reference pays
+    that waste: its per-element ``Check`` runs over every live tile,
+    ``flash_attention.cu:915-947``).
     """
 
     kv_table: np.ndarray    # (num_rows, num_steps) int32
@@ -93,6 +105,11 @@ class Schedule:
     needs_mask: np.ndarray  # (num_rows, num_steps) int32 (0/1)
     live: np.ndarray        # (num_rows, num_cols) bool
     partial: np.ndarray     # (num_rows, num_cols) bool
+    sub_live: np.ndarray | None = None   # (num_rows, num_steps, W) int32
+    sub_needs: np.ndarray | None = None  # (num_rows, num_steps, W) int32
+    sub_shape: Tuple[int, int] = (1, 1)  # (rq, rk)
+    fine_live: np.ndarray | None = None     # fine-granularity classes
+    fine_partial: np.ndarray | None = None  # (for .transpose())
 
     @property
     def num_q_blocks(self) -> int:
@@ -108,10 +125,40 @@ class Schedule:
 
     def transpose(self) -> "Schedule":
         """Schedule for the dK/dV backward kernel: live q blocks per kv block."""
+        if self.sub_live is not None:
+            rq, rk = self.sub_shape
+            return _pack_live(
+                self.live.T, self.partial.T,
+                fine=(self.fine_live.T, self.fine_partial.T, rk, rq))
         return _pack_live(self.live.T, self.partial.T)
 
 
-def _pack_live(live: np.ndarray, partial: np.ndarray) -> Schedule:
+def _pack_sub_words(fine: np.ndarray, table: np.ndarray, counts: np.ndarray,
+                    rq: int, rk: int) -> np.ndarray:
+    """Pack fine-granularity booleans into per-(row, step) bitmask words.
+
+    ``fine`` is ``(n_rows·rq, n_cols·rk)`` bool (already padded); returns
+    ``(n_rows, num_steps, W)`` int32 with bit ``jq·rk + j`` of the
+    flattened 32-bit word stream set from ``fine[r·rq+jq, kb·rk+j]``.
+    """
+    n_rows, num_steps = table.shape
+    n_bits = rq * rk
+    n_words = -(-n_bits // 32)
+    words = np.zeros((n_rows, num_steps, n_words), dtype=np.int64)
+    for r in range(n_rows):
+        for s in range(int(counts[r])):
+            kb = table[r, s]
+            block = fine[r * rq:(r + 1) * rq, kb * rk:(kb + 1) * rk]
+            bits = np.flatnonzero(block.reshape(-1))
+            for b in bits:
+                words[r, s, b // 32] |= np.int64(1) << np.int64(b % 32)
+    # int32 view keeps the scalar-prefetch dtype; bit 31 lands in the sign
+    # bit, which the kernels only ever touch with shift+and.
+    return words.astype(np.uint32).view(np.int32).reshape(
+        n_rows, num_steps, n_words)
+
+
+def _pack_live(live: np.ndarray, partial: np.ndarray, fine=None) -> Schedule:
     n_rows, _ = live.shape
     counts = live.sum(axis=1).astype(np.int32)
     num_steps = max(1, int(counts.max()) if n_rows else 1)
@@ -123,8 +170,19 @@ def _pack_live(live: np.ndarray, partial: np.ndarray) -> Schedule:
             table[r, : idx.size] = idx
             table[r, idx.size :] = idx[-1]
             needs[r, : idx.size] = partial[r, idx]
-    return Schedule(kv_table=table, kv_counts=counts, needs_mask=needs,
-                    live=live, partial=partial)
+    if fine is None:
+        return Schedule(kv_table=table, kv_counts=counts, needs_mask=needs,
+                        live=live, partial=partial)
+    fine_live, fine_partial, rq, rk = fine
+    return Schedule(
+        kv_table=table, kv_counts=counts, needs_mask=needs,
+        live=live, partial=partial,
+        sub_live=_pack_sub_words(fine_live, table, counts, rq, rk),
+        sub_needs=_pack_sub_words(fine_live & fine_partial, table, counts,
+                                  rq, rk),
+        sub_shape=(rq, rk),
+        fine_live=fine_live, fine_partial=fine_partial,
+    )
 
 
 def _tile_classes_python(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int):
@@ -158,25 +216,59 @@ def _tile_classes_python(pack: SyncPack, rule: MaskRule, block_q: int, block_kv:
     return live, live & ~full
 
 
-@functools.lru_cache(maxsize=512)
-def _build_schedule_cached(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int,
-                           use_native: bool) -> Schedule:
-    classes = None
+def _classes(pack, rule, block_q, block_kv, use_native):
     if use_native:
         from .native import native_tile_classes
         classes = native_tile_classes(pack, rule, block_q, block_kv)
-    if classes is None:
-        classes = _tile_classes_python(pack, rule, block_q, block_kv)
-    live, partial = classes
-    return _pack_live(live, partial)
+        if classes is not None:
+            return classes
+    return _tile_classes_python(pack, rule, block_q, block_kv)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_schedule_cached(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int,
+                           use_native: bool, q_compute: int, kv_compute: int) -> Schedule:
+    if q_compute == block_q and kv_compute == block_kv:
+        live, partial = _classes(pack, rule, block_q, block_kv, use_native)
+        return _pack_live(live, partial)
+
+    # Sub-tiled build: classify at the fine (q_compute, kv_compute)
+    # granularity and aggregate.  A coarse tile is live iff any sub-tile
+    # is; it takes the interior (maskless, no-bitmask) fast path only when
+    # every sub-tile is live and fully visible.
+    rq = block_q // q_compute
+    rk = block_kv // kv_compute
+    fine_live, fine_partial = _classes(pack, rule, q_compute, kv_compute,
+                                       use_native)
+    q_len = int(np.prod(pack.q.shape))
+    k_len = int(np.prod(pack.k.shape))
+    n_q = -(-q_len // block_q)
+    n_k = -(-k_len // block_kv)
+    padded_l = np.zeros((n_q * rq, n_k * rk), dtype=bool)
+    padded_p = np.zeros_like(padded_l)
+    padded_l[: fine_live.shape[0], : fine_live.shape[1]] = fine_live
+    padded_p[: fine_partial.shape[0], : fine_partial.shape[1]] = fine_partial
+    grp_l = padded_l.reshape(n_q, rq, n_k, rk)
+    grp_p = padded_p.reshape(n_q, rq, n_k, rk)
+    live = grp_l.any(axis=(1, 3))
+    full = grp_l.all(axis=(1, 3)) & ~grp_p.any(axis=(1, 3))
+    return _pack_live(live, live & ~full,
+                      fine=(padded_l, padded_p, rq, rk))
 
 
 def build_schedule(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int,
-                   use_native: bool = True) -> Schedule:
+                   use_native: bool = True, q_compute: int | None = None,
+                   kv_compute: int | None = None) -> Schedule:
     """Build (and cache) the live-block schedule for a (pack, rule, tiling).
 
     Uses the native C++ classifier (``csrc/fa_native.cc``) when available;
     the NumPy implementation is the fallback and behavioural spec.
+    ``q_compute``/``kv_compute`` (dividing the block sizes) additionally
+    classify at sub-tile granularity for in-kernel sub-tile skipping.
     """
+    q_compute = int(q_compute or block_q)
+    kv_compute = int(kv_compute or block_kv)
+    if block_q % q_compute or block_kv % kv_compute:
+        raise ValueError("compute sizes must divide block sizes")
     return _build_schedule_cached(pack, rule, int(block_q), int(block_kv),
-                                  bool(use_native))
+                                  bool(use_native), q_compute, kv_compute)

@@ -31,8 +31,20 @@ def device_time(fn, args, n: int = 20, reps: int = 3) -> float:
 
     Chains ``n`` executions in one jitted dispatch via ``lax.scan`` with a
     scalar data dependency (so XLA cannot elide or reorder them), fetches
-    one scalar, and differences against a single-execution dispatch to
-    cancel dispatch/fetch overhead.
+    one scalar, and differences against a shorter chain dispatched
+    back-to-back to cancel dispatch/fetch overhead.
+
+    Estimator (hardened in round 4): the tunnelled runtime adds ~30 ms of
+    RTT plus multi-millisecond scheduling jitter to every dispatch, and
+    the chip itself is bimodal (docs/TUNING.md).  Differencing two
+    *independent minima* under that noise occasionally produced
+    physically impossible readings (a "0.13 ms" forward implying 165% of
+    the raw bf16 MXU peak, BENCH probes rounds 3-4).  Now each rep times
+    the short and long chain back-to-back — seconds apart, so both see
+    the same chip state — forms a per-rep paired difference, and the
+    estimate is the MEDIAN of the per-rep differences (robust to a
+    single rep straddling a state flip or catching a jitter spike).
+    Reps whose paired difference is non-positive or absurd are discarded.
     """
 
     def chained(args, length):
@@ -57,21 +69,25 @@ def device_time(fn, args, n: int = 20, reps: int = 3) -> float:
     f_long = jax.jit(lambda *a: chained(a, n))
     float(f_short(*args))
     float(f_long(*args))
-    best_s = best_l = float("inf")
+    diffs = []
+    fallback = float("inf")
     for _ in range(max(3, reps)):
         t0 = time.perf_counter()
         float(f_short(*args))
-        best_s = min(best_s, time.perf_counter() - t0)
+        t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(f_long(*args))
-        best_l = min(best_l, time.perf_counter() - t0)
-    # Both chains amortise dispatch/fetch; differencing removes the fixed
-    # overhead.  Guard against noise-driven negative/absurd results by
-    # falling back to the long chain's amortised time.
-    dt = (best_l - best_s) / (n - n_short)
-    if not (0 < dt <= best_l / n * 1.5):
-        dt = best_l / n
-    return dt
+        t_l = time.perf_counter() - t0
+        fallback = min(fallback, t_l / n)
+        d = (t_l - t_s) / (n - n_short)
+        # Keep only physically sane paired differences: positive and not
+        # larger than the long chain's own amortised upper bound.
+        if 0 < d <= t_l / n * 1.5:
+            diffs.append(d)
+    if not diffs:
+        return fallback
+    diffs.sort()
+    return diffs[len(diffs) // 2]
 
 
 @dataclasses.dataclass(frozen=True)

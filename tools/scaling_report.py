@@ -89,12 +89,14 @@ def measured():
     fn = lambda toks: stepf(mp, ost, toks)
     dt3 = device_time(fn, (toks,), n=5)
     toks_step = BT * ST
-    # 6ND model FLOPs + attention matmul FLOPs (fwd 2 GEMMs + bwd 7
-    # scheduled across the recompute split = 4.5x the fwd pair per layer)
+    # 6ND model FLOPs + attention matmul FLOPs.  MFU's numerator uses the
+    # USEFUL gradient count — fwd 2 GEMMs + bwd canonical 5 = 3.5x the fwd
+    # pair — matching flops.matmul_flops_backward's pricing policy (no
+    # credit for the recompute split's duplicated GEMMs).
     flops_model = 6.0 * n_params * toks_step
     att = matmul_flops_forward(CausalRule(), "none_front", (ST,), (ST,),
                                128, 128, BT * cfgm.n_heads) * cfgm.n_layers
-    mfu = (flops_model + 4.5 * att) / dt3 / 197e12
+    mfu = (flops_model + 3.5 * att) / dt3 / 197e12
     print(f"  train step {n_params/1e6:.0f}M-param LM (B={BT}, S={ST}): "
           f"{dt3*1e3:.1f} ms = {toks_step/dt3:,.0f} tokens/s/chip "
           f"({mfu:.0%} MFU vs raw bf16 peak)")

@@ -172,3 +172,38 @@ def test_fully_masked_rows():
     g = jax.grad(lambda q: jnp.sum(fa.causal_1d(q, K, V, sync_mode="scale_end",
                                                 block_config=SMALL_BLOCKS)))(Q)
     np.testing.assert_array_equal(np.asarray(g[..., 0]), 0.0)
+
+
+@pytest.mark.parametrize("g", [1, 4])
+def test_fused_backward_matches_split(g):
+    """The fused single-pass backward (5 scheduled GEMMs, whole-sequence
+    VMEM dQ accumulator, group-blocked GQA streaming) must agree with the
+    two-kernel split, which is the behavioural spec (both implement the
+    reference gradient math, flash_attention.cu:1079-1967)."""
+    from tf_flash_attention_tpu.ops.backward import flash_backward
+    from tf_flash_attention_tpu.ops.forward import flash_forward
+    from tf_flash_attention_tpu.sync_modes import make_sync_pack
+
+    rng = np.random.default_rng(11)
+    cfg = BlockConfig(128, 128, 128, 128, 128, 128)
+    for rule, qlen, klen, sync in [
+        (CausalRule(), 300, 520, "scale_front"),
+        (LocalRule(window_size=3, log2_stride_size=1, is_causal=True),
+         384, 384, "none_front"),
+    ]:
+        pack = make_sync_pack(sync, (qlen,), (klen,))
+        B_kv = 2
+        q = jnp.asarray(rng.uniform(-2, 2, (B_kv * g, qlen, 32)), jnp.float32)
+        k = jnp.asarray(rng.uniform(-2, 2, (B_kv, klen, 32)), jnp.float32)
+        v = jnp.asarray(rng.uniform(-2, 2, (B_kv, klen, 24)), jnp.float32)
+        do = jnp.asarray(rng.uniform(-2, 2, (B_kv * g, qlen, 24)), jnp.float32)
+        o, l, m = flash_forward(q, k, v, pack=pack, rule=rule, config=cfg,
+                                interpret=True)
+        fus = flash_backward(q, k, v, o, l, m, do, pack=pack, rule=rule,
+                             config=cfg, interpret=True, fused=True)
+        spl = flash_backward(q, k, v, o, l, m, do, pack=pack, rule=rule,
+                             config=cfg, interpret=True, fused=False)
+        for name, x, y in zip(("dQ", "dK", "dV"), fus, spl):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=2e-4, atol=2e-4,
+                err_msg=f"{name} {rule} {qlen}x{klen} {sync} g={g}")

@@ -54,7 +54,7 @@ from ..schedule import build_schedule
 from ..sync_modes import SyncPack
 from .forward import STATS_LANES
 from .kernel_common import (
-    LOG2E, NEG_INF_F32, build_tile_mask, dot_precision,
+    INV_LOG2E, LOG2E, NEG_INF_F32, build_tile_mask, dot_precision,
 )
 
 __all__ = ["flash_backward"]
@@ -247,6 +247,128 @@ def _dkv_kernel(
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _fused_kernel(
+    table_ref, counts_ref, needs_ref,
+    k_ref, v_ref, q_ref, do_ref, stats_ref,
+    dk_ref, dv_ref, dq_ref,
+    dk_acc, dv_acc, dq_acc,
+    *,
+    pack, rule, scale, q_len, k_len, q_len_padded, k_len_padded, num_steps,
+    num_kv_blocks, has_interior, has_partial, kv_group, block_q, resident,
+    fast_softmax,
+):
+    """Fused single-pass backward: dQ, dK, dV in 5 scheduled GEMMs/tile.
+
+    The reference computes all three gradients in one KV-outer kernel with
+    dQ accumulated in global memory under a spinlock
+    (``flash_attention.cu:1079-1967``).  The round-2/3 TPU split paid 7
+    scheduled GEMMs (duplicated P and dO·Vᵀ recomputes) for the canonical
+    5.  This kernel restores the 5-GEMM schedule lock-free: the grid is
+    kv-outer like the reference, dK/dV accumulate in per-kv-block VMEM
+    scratch, and dQ accumulates into a *whole-sequence* fp32 VMEM scratch
+    that persists across the entire (kv-block, step) segment of one batch
+    row — no HBM round-trips, no partial-dQ outputs, no locks; the single
+    output write happens at segment end.  (Pallas forbids non-consecutive
+    output-block revisiting, so global accumulation a la the reference is
+    not even expressible — the persistent-scratch design is the TPU-native
+    equivalent.)  Fallback for sequences whose dQ scratch would not fit
+    VMEM is the two-kernel split (``_dq_kernel``/``_dkv_kernel``).
+
+    GQA (``kv_group = g > 1``) streams group members as a *block*: q, dO
+    and stats arrive as ``(g, block_q, ·)`` windows — one DMA per step for
+    all members sharing the KV row (the round-3 design replayed the whole
+    schedule per member) — and the per-position mask is built once per
+    step, not once per member.
+
+    Scale handling: q arrives pre-scaled by ``scale·log2e`` feeding the P
+    recompute; since dK = scale·dSᵀ·Q = (dSᵀ·q_scaled)/log2e, the
+    finalize multiplies dK by ``1/log2e`` and dQ by ``scale`` (k is
+    unscaled), deferring every scale to one per-block pass.
+    """
+    ki = pl.program_id(1)
+    step = pl.program_id(2)
+    block_kv = k_ref.shape[1]
+
+    @pl.when((ki == 0) & (step == 0))
+    def _init_dq():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when(step == 0)
+    def _init_kv():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def update(masked: bool):
+        qb = table_ref[ki, step]
+        mask = _tile_mask_or_none(masked, pack, rule, qb, ki, block_q, block_kv,
+                                  q_len, k_len, q_len_padded, k_len_padded)
+        row = pl.multiple_of(qb * block_q, block_q)
+        for mem in range(kv_group):
+            if resident:
+                # q/do/stats windows cover the whole (padded) query
+                # sequence (fetched once per batch row); slice per step.
+                q_blk = q_ref[mem, pl.ds(row, block_q), :]
+                do_blk = do_ref[mem, pl.ds(row, block_q), :]
+                stats = stats_ref[mem, pl.ds(row, block_q), :]
+            else:
+                q_blk = q_ref[mem]
+                do_blk = do_ref[mem]
+                stats = stats_ref[mem]
+            lse2_row = stats[:, 0:1]
+            delta_row = stats[:, 1:2]
+            p = _recompute_p(q_blk, k_ref[0], lse2_row, mask, fast_softmax)
+
+            # dV += Pᵀ · dO
+            dv_acc[...] += jax.lax.dot_general(
+                p.astype(do_ref.dtype), do_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(do_ref.dtype),
+            )
+            dp = jax.lax.dot_general(
+                do_blk, v_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(v_ref.dtype),
+            )
+            ds = p * (dp - delta_row)
+            # dK += dSᵀ · q_scaled  (descaled by 1/log2e at finalize)
+            dk_acc[...] += jax.lax.dot_general(
+                ds.astype(q_ref.dtype), q_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q_ref.dtype),
+            )
+            # dQ += dS · K  (×scale at finalize)
+            dq_acc[mem, pl.ds(row, block_q), :] += jax.lax.dot_general(
+                ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(k_ref.dtype),
+            )
+
+    in_bounds = step < counts_ref[ki]
+    if has_partial and has_interior:
+        needs = needs_ref[ki, step] == 1
+
+        @pl.when(in_bounds & needs)
+        def _masked():
+            update(True)
+
+        @pl.when(in_bounds & jnp.logical_not(needs))
+        def _interior():
+            update(False)
+    else:
+        @pl.when(in_bounds)
+        def _only():
+            update(has_partial)
+
+    @pl.when(step == num_steps - 1)
+    def _fin_kv():
+        dk_ref[0] = (dk_acc[...] * jnp.float32(INV_LOG2E)).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+    @pl.when((ki == num_kv_blocks - 1) & (step == num_steps - 1))
+    def _fin_dq():
+        dq_ref[...] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
+
+
 def flash_backward(
     q, k, v, o, l, m, do,
     *,
@@ -256,6 +378,7 @@ def flash_backward(
     scale: Optional[float] = None,
     interpret: bool = False,
     fast_softmax: Optional[bool] = None,
+    fused: Optional[bool] = None,
 ):
     """Compute ``(dQ, dK, dV)`` on sequence-major tensors.
 
@@ -334,6 +457,98 @@ def flash_backward(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
         vmem_limit_bytes=VMEM_LIMIT,
     )
+
+    # ---- fused single-pass kernel (5 scheduled GEMMs) ----
+    # Auto policy: fuse whenever the whole-sequence dQ accumulator fits a
+    # conservative VMEM slice; very long sequences fall back to the
+    # two-kernel split below (kept as spec and fallback).
+    block_qf = min(config.block_q_dkv, pad_to(q_len, LANE))
+    block_kvf = min(config.block_kv_dkv, pad_to(k_len, LANE))
+    q_padf = pad_to(q_len, block_qf)
+    k_padf = pad_to(k_len, block_kvf)
+    if fused is None:
+        import os
+        # Measured (tools/exp_fused_bwd.py): fused wins decisively at
+        # g<=2 (130.7 vs 92.2 useful TFLOP/s at g=1); at g=8 the grouped
+        # member loop + 16MB dQ scratch lose to the split replay, so
+        # large groups keep the split kernels.
+        fused = (os.environ.get("FA_FUSED_BWD", "1") != "0"
+                 and g <= 2
+                 and g * q_padf * d_pad * 4 <= 24 * 1024 * 1024)
+    if fused:
+        import os as _os
+        sched_t = build_schedule(pack, rule, block_qf, block_kvf).transpose()
+        n_kv_blocks = sched_t.num_q_blocks  # rows of the transposed table
+        # q/do/stats residency: whole-row windows fetched once per batch
+        # row instead of one (block_q, ·) window per (kv-block, step) —
+        # the same measured DMA win as the banded forward.
+        resident = (
+            _os.environ.get("FA_RESIDENT_BWD", "1") != "0"
+            and g * q_padf * (2 * (d_pad + v_d_pad)
+                              * jnp.dtype(in_dtype).itemsize + 4 * STATS_LANES)
+            <= 28 * 1024 * 1024
+        )
+        fkernel = functools.partial(
+            _fused_kernel, pack=pack, rule=rule, scale=scale,
+            q_len=q_len, k_len=k_len,
+            q_len_padded=q_padf, k_len_padded=k_padf,
+            num_steps=sched_t.num_steps,
+            num_kv_blocks=n_kv_blocks,
+            has_interior=bool((sched_t.live & ~sched_t.partial).any()),
+            has_partial=bool(sched_t.partial.any()),
+            kv_group=g,
+            block_q=block_qf,
+            resident=resident,
+            fast_softmax=fast_softmax,
+        )
+        kv_idx = lambda b, ki, s, t, c, n: (b, ki, 0)
+        qg_idx = ((lambda b, ki, s, t, c, n: (b, 0, 0)) if resident
+                  else (lambda b, ki, s, t, c, n: (b, t[ki, s], 0)))
+        q_win = q_padf if resident else block_qf
+        dq_idx = lambda b, ki, s, t, c, n: (b, 0, 0)
+        dk, dv, dq = pl.pallas_call(
+            fkernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(B_kv, n_kv_blocks, sched_t.num_steps),
+                in_specs=[
+                    pl.BlockSpec((1, block_kvf, d_pad), kv_idx),
+                    pl.BlockSpec((1, block_kvf, v_d_pad), kv_idx),
+                    pl.BlockSpec((g, q_win, d_pad), qg_idx),
+                    pl.BlockSpec((g, q_win, v_d_pad), qg_idx),
+                    pl.BlockSpec((g, q_win, STATS_LANES), qg_idx),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, block_kvf, d_pad), kv_idx),
+                    pl.BlockSpec((1, block_kvf, v_d_pad), kv_idx),
+                    pl.BlockSpec((g, q_padf, d_pad), dq_idx),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_kvf, d_pad), jnp.float32),
+                    pltpu.VMEM((block_kvf, v_d_pad), jnp.float32),
+                    pltpu.VMEM((g, q_padf, d_pad), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B_kv, k_padf, d_pad), in_dtype),
+                jax.ShapeDtypeStruct((B_kv, k_padf, v_d_pad), in_dtype),
+                jax.ShapeDtypeStruct((B, q_padf, d_pad), in_dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+                vmem_limit_bytes=VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(jnp.asarray(sched_t.kv_table), jnp.asarray(sched_t.kv_counts),
+          jnp.asarray(sched_t.needs_mask),
+          padded(k, k_padf, d_pad), padded(v, k_padf, v_d_pad),
+          padded(q, q_padf, d_pad, prescale=True),
+          padded(do, q_padf, v_d_pad), padded(stats, q_padf))
+        return (
+            dq[:, :q_len, :d],
+            dk[:, :k_len, :d],
+            dv[:, :k_len, :v_d],
+        )
 
     # ---- dQ kernel ----
     block_q = min(config.block_q_dq, pad_to(q_len, LANE))

@@ -301,14 +301,50 @@ def flash_forward(
     # the schedule has partially-visible tiles to prune inside.
     sub_skip = (sched.sub_live is not None and bool(sched.partial.any()))
 
+    import os
     if fast_softmax is None:
         # Auto policy: bf16 softmax for 16-bit inputs (error ~2^-7 max-rel
         # vs fp64, tests/test_fast_softmax.py — inside the reference half
         # tolerance model); exact f32 otherwise.  FA_FAST_SOFTMAX=0
         # disables the fast chain globally (escape hatch).
-        import os
         fast_softmax = (jnp.dtype(in_dtype).itemsize == 2
                         and os.environ.get("FA_FAST_SOFTMAX", "1") != "0")
+
+    # Banded resident-KV fast path (ops/forward_banded.py): engaged when
+    # every schedule row is one contiguous band with one interior run and
+    # the K/V rows fit the resident VMEM budget.  Measured faster than the
+    # table-driven grid kernel (fewer K/V DMAs, no per-tile grid
+    # bookkeeping); the table kernel remains the spec and covers
+    # strided-local schedules and very long sequences.
+    from .forward_banded import RESIDENT_KV_BUDGET, banded_forward
+    use_banded = (
+        not sub_skip
+        and os.environ.get("FA_BANDED", "1") != "0"
+        and k_pad * (d_pad + v_d_pad) * jnp.dtype(in_dtype).itemsize
+        <= RESIDENT_KV_BUDGET
+    )
+    if use_banded:
+        seg = sched.banded_segments()
+        if seg is not None:
+            n_live = int(sched.live.sum())
+            cost = pl.CostEstimate(
+                flops=2 * block_q * block_kv * (d_pad + v_d_pad) * n_live * B,
+                bytes_accessed=int(qp.nbytes + kp.nbytes + vp.nbytes
+                                   + B * q_pad * v_d_pad * qp.dtype.itemsize),
+                transcendentals=block_q * block_kv * n_live * B,
+            )
+            o, stats = banded_forward(
+                qp, kp, vp, seg, pack=pack, rule=rule,
+                q_len=q_len, k_len=k_len,
+                block_q=block_q, block_kv=block_kv,
+                fast_softmax=bool(fast_softmax), cost=cost,
+                interpret=interpret,
+            )
+            return (
+                o[:, :q_len, :v_d],
+                stats[:, :q_len, 0],
+                stats[:, :q_len, 1],
+            )
 
     kernel = functools.partial(
         _fwd_kernel,

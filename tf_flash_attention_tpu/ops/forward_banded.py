@@ -1,0 +1,210 @@
+"""Banded resident-KV Pallas forward kernel (round-4 fast path).
+
+Same mathematics as ``ops/forward.py`` (online log2-domain softmax, the
+reference's merge at ``flash_attention.cu:974-1035``), different schedule
+structure, chosen from on-chip measurement (tools/exp_resident.py,
+docs/TUNING.md round 4):
+
+* **K/V are resident**: their BlockSpec windows cover the whole (padded)
+  key sequence with a block index constant across the q axis, so Pallas
+  DMAs each batch row's K/V from HBM ONCE instead of re-streaming one
+  (block_kv, d) window per live (q-block, step) — a ~4x cut in K/V HBM
+  traffic for the causal bench shape, directly visible when the chip's
+  DMA/compute overlap degrades (the bimodal states of docs/TUNING.md).
+* **The kv loop is an in-kernel ``fori_loop``**, not a grid dimension:
+  the per-q-block live band ``[start, end)`` and its mask-free interior
+  run ``[i0, i1)`` come from the trace-time schedule as a scalar-prefetch
+  segment table, so each q block executes exactly
+  ``masked prefix → interior → masked suffix`` with zero per-tile grid
+  bookkeeping and no ``pl.when`` branches (measured 2-3x loss, round 4).
+
+Eligibility (``flash_forward`` auto-routes): every schedule row's live
+set must be one contiguous band with one contiguous interior run
+(causal, non-strided local, full — with any sync mode); K/V must fit the
+VMEM budget.  Strided-local rules and very long sequences fall back to
+the table-driven kernel, which remains the behavioural spec.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..block_sizes import LANE, VMEM_LIMIT
+from ..mask_rules import MaskRule
+from ..sync_modes import SyncPack
+from .kernel_common import (
+    INV_LOG2E, NEG_INF_F32, build_tile_mask, dot_precision,
+)
+
+__all__ = ["banded_forward", "RESIDENT_KV_BUDGET"]
+
+#: K+V resident-window budget (bytes).  Leaves the rest of VMEM for the
+#: q/o streams, score tiles and accumulators under VMEM_LIMIT.
+RESIDENT_KV_BUDGET = 40 * 1024 * 1024
+
+STATS_LANES = 8  # must match forward.STATS_LANES (single packed stats tensor)
+
+
+def _banded_kernel(
+    seg_ref,                      # scalar prefetch: (n_q, 4) int32
+    q_ref, k_ref, v_ref,          # q block; resident K/V rows
+    o_ref, stats_ref,             # outputs
+    acc_ref, m_scratch, l_scratch,
+    *,
+    pack: SyncPack,
+    rule: MaskRule,
+    q_len: int,
+    k_len: int,
+    q_len_padded: int,
+    k_len_padded: int,
+    block_kv: int,
+    fast_softmax: bool,
+):
+    qi = pl.program_id(1)
+    block_q = q_ref.shape[1]
+    start = seg_ref[qi, 0]
+    i0 = seg_ref[qi, 1]
+    i1 = seg_ref[qi, 2]
+    end = seg_ref[qi, 3]
+
+    m_scratch[...] = jnp.full_like(m_scratch, NEG_INF_F32)
+    l_scratch[...] = jnp.zeros_like(l_scratch)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(j, carry, masked):
+        col = pl.multiple_of(j * block_kv, block_kv)
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0, pl.ds(col, block_kv), :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(q_ref.dtype),
+        )
+        if masked:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0)
+            k_pos = col + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_kv), 1)
+            mask = build_tile_mask(
+                pack, rule, q_pos, k_pos, q_len, k_len,
+                q_len_padded, k_len_padded,
+            )
+            if mask is not None:
+                s = jnp.where(mask, s, NEG_INF_F32)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        if fast_softmax:
+            # bf16 exp2 chain; see forward.py for the error budget.
+            p = jnp.exp2((s - m_next).astype(jnp.bfloat16))
+            l_next = alpha * l_prev + jnp.sum(
+                p, axis=1, keepdims=True, dtype=jnp.float32)
+        else:
+            p = jnp.exp2(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, pl.ds(col, block_kv), :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=dot_precision(v_ref.dtype),
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        return carry
+
+    jax.lax.fori_loop(start, i0, functools.partial(body, masked=True), 0)
+    jax.lax.fori_loop(i0, i1, functools.partial(body, masked=False), 0)
+    jax.lax.fori_loop(i1, end, functools.partial(body, masked=True), 0)
+
+    l_col = l_scratch[:, :1]
+    m_col = m_scratch[:, :1]
+    dead = m_col <= NEG_INF_F32
+    l_col = jnp.where(dead, 0.0, l_col)
+    l_safe = jnp.where(l_col == 0.0, 1.0, l_col)
+    o = acc_ref[...] / l_safe
+    o = jnp.where(dead, 0.0, o)
+    o_ref[0] = o.astype(o_ref.dtype)
+    m_pub = jnp.where(dead, NEG_INF_F32, m_col * jnp.float32(INV_LOG2E))
+    stats_ref[0] = jnp.concatenate(
+        [l_col, m_pub,
+         jnp.zeros((acc_ref.shape[0], STATS_LANES - 2), jnp.float32)],
+        axis=1,
+    )
+
+
+def banded_forward(
+    qp: jax.Array,       # (B, q_pad, d_pad) pre-scaled, padded
+    kp: jax.Array,       # (B_kv, k_pad, d_pad) padded
+    vp: jax.Array,       # (B_kv, k_pad, v_d_pad) padded
+    seg: np.ndarray,     # (n_q, 4) int32 band segments
+    *,
+    pack: SyncPack,
+    rule: MaskRule,
+    q_len: int,
+    k_len: int,
+    block_q: int,
+    block_kv: int,
+    fast_softmax: bool,
+    cost: Optional[pl.CostEstimate],
+    interpret: bool = False,
+):
+    """Run the banded kernel on pre-padded/pre-scaled tensors.
+
+    ``flash_forward`` owns padding, scaling, GQA setup and eligibility;
+    this function owns only the pallas_call.  Returns ``(o, stats)`` in
+    padded layout.
+    """
+    B, q_pad, d_pad = qp.shape
+    B_kv, k_pad, v_d_pad = vp.shape
+    g = B // B_kv
+    n_q = q_pad // block_q
+
+    kernel = functools.partial(
+        _banded_kernel,
+        pack=pack, rule=rule, q_len=q_len, k_len=k_len,
+        q_len_padded=q_pad, k_len_padded=k_pad,
+        block_kv=block_kv, fast_softmax=fast_softmax,
+    )
+    qi_map = lambda b, qi, s: (b, qi, 0)
+    kv_map = lambda b, qi, s: (b // g, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), qi_map),
+            pl.BlockSpec((1, k_pad, d_pad), kv_map),
+            pl.BlockSpec((1, k_pad, v_d_pad), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, v_d_pad), qi_map),
+            pl.BlockSpec((1, block_q, STATS_LANES), qi_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, v_d_pad), jnp.float32),
+            pltpu.VMEM((block_q, LANE), jnp.float32),
+            pltpu.VMEM((block_q, LANE), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, q_pad, v_d_pad), qp.dtype),
+            jax.ShapeDtypeStruct((B, q_pad, STATS_LANES), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(jnp.asarray(seg), qp, kp, vp)

@@ -132,6 +132,40 @@ class Schedule:
                 fine=(self.fine_live.T, self.fine_partial.T, rk, rq))
         return _pack_live(self.live.T, self.partial.T)
 
+    def banded_segments(self) -> "np.ndarray | None":
+        """Per-row ``[start, interior_start, interior_end, end)`` bounds.
+
+        Returns an ``(num_rows, 4)`` int32 array when every row's live set
+        is a contiguous band of blocks whose interior (mask-free) tiles
+        form one contiguous run flanked by partial tiles — the shape of
+        every causal/local/full schedule (strided-local rules produce
+        non-contiguous live sets and return ``None``).  This feeds the
+        banded resident-KV kernel, whose kv loop is an in-kernel
+        ``fori_loop`` over these bounds instead of a grid axis.
+        """
+        n_rows = self.live.shape[0]
+        seg = np.zeros((n_rows, 4), dtype=np.int32)
+        for r in range(n_rows):
+            idx = np.flatnonzero(self.live[r])
+            if idx.size == 0:
+                continue
+            start, end = int(idx[0]), int(idx[-1]) + 1
+            if idx.size != end - start:
+                return None  # hole in the live band
+            part = self.partial[r, start:end]
+            interior = np.flatnonzero(~part)
+            if interior.size == 0:
+                i0 = i1 = start
+            else:
+                i0 = start + int(interior[0])
+                i1 = start + int(interior[-1]) + 1
+                if interior.size != i1 - i0:
+                    return None  # interleaved partial/interior tiles
+            if not (part[: i0 - start].all() and part[i1 - start:].all()):
+                return None
+            seg[r] = (start, i0, i1, end)
+        return seg
+
 
 def _pack_sub_words(fine: np.ndarray, table: np.ndarray, counts: np.ndarray,
                     rq: int, rk: int) -> np.ndarray:

@@ -23,7 +23,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-__all__ = ["device_time", "Roofline", "V5E"]
+__all__ = ["device_time", "device_time_samples", "Roofline", "V5E"]
 
 
 def device_time(fn, args, n: int = 20, reps: int = 3) -> float:
@@ -64,13 +64,40 @@ def device_time(fn, args, n: int = 20, reps: int = 3) -> float:
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
         return c
 
+    diffs = device_time_samples(fn, args, n=n, reps=reps)
+    diffs = sorted(diffs)
+    return diffs[len(diffs) // 2]
+
+
+def device_time_samples(fn, args, n: int = 20, reps: int = 3):
+    """Per-rep paired-difference wall-time samples (seconds per call).
+
+    Jits the short/long measurement chains ONCE and reuses them across
+    reps (a fresh jit per sample costs a compile-cache round-trip through
+    the tunnel each time).  Returns one paired difference per rep; reps
+    whose difference is non-positive or absurd are replaced by the long
+    chain's amortised upper bound (conservative, never flattering).
+    """
+
+    def chained(args, length):
+        def body(carry, _):
+            perturbed = (args[0] * (1.0 + carry * 1e-30)).astype(args[0].dtype)
+            out = fn(*((perturbed,) + tuple(args[1:])))
+            leaves = jax.tree_util.tree_leaves(out)
+            acc = jnp.float32(0)
+            for leaf in leaves:
+                acc = acc + leaf.ravel()[0].astype(jnp.float32)
+            return acc, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
+        return c
+
     n_short = max(2, n // 3)
     f_short = jax.jit(lambda *a: chained(a, n_short))
     f_long = jax.jit(lambda *a: chained(a, n))
     float(f_short(*args))
     float(f_long(*args))
-    diffs = []
-    fallback = float("inf")
+    samples = []
     for _ in range(max(3, reps)):
         t0 = time.perf_counter()
         float(f_short(*args))
@@ -78,16 +105,9 @@ def device_time(fn, args, n: int = 20, reps: int = 3) -> float:
         t0 = time.perf_counter()
         float(f_long(*args))
         t_l = time.perf_counter() - t0
-        fallback = min(fallback, t_l / n)
         d = (t_l - t_s) / (n - n_short)
-        # Keep only physically sane paired differences: positive and not
-        # larger than the long chain's own amortised upper bound.
-        if 0 < d <= t_l / n * 1.5:
-            diffs.append(d)
-    if not diffs:
-        return fallback
-    diffs.sort()
-    return diffs[len(diffs) // 2]
+        samples.append(d if 0 < d <= t_l / n * 1.5 else t_l / n)
+    return samples
 
 
 @dataclasses.dataclass(frozen=True)

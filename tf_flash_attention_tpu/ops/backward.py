@@ -108,7 +108,7 @@ def _dq_kernel(
     dq_acc,
     *,
     pack, rule, scale, q_len, k_len, q_len_padded, k_len_padded, num_steps,
-    has_interior, has_partial, fast_softmax,
+    has_interior, has_partial, kv_group, fast_softmax,
 ):
     qi = pl.program_id(1)
     step = pl.program_id(2)
@@ -123,27 +123,32 @@ def _dq_kernel(
         kb = table_ref[qi, step]
         mask = _tile_mask_or_none(masked, pack, rule, qi, kb, block_q, block_kv,
                                   q_len, k_len, q_len_padded, k_len_padded)
-        stats = stats_ref[0]
-        lse2_row = stats[:, 0:1]
-        delta_row = stats[:, 1:2]
-        # q arrives pre-scaled by scale*log2(e) (XLA-side; it feeds only the
-        # P recompute in this kernel).
-        p = _recompute_p(q_ref[0], k_ref[0], lse2_row, mask, fast_softmax)
+        # GQA: q/do/stats arrive group-blocked — (g, block_q, ·) windows,
+        # one DMA per step for every query head sharing this KV row — and
+        # the K/V window and the mask are shared across the member loop.
+        for mem in range(kv_group):
+            stats = stats_ref[mem]
+            lse2_row = stats[:, 0:1]
+            delta_row = stats[:, 1:2]
+            # q arrives pre-scaled by scale*log2(e) (XLA-side; it feeds
+            # only the P recompute in this kernel).
+            p = _recompute_p(q_ref[mem], k_ref[0], lse2_row, mask,
+                             fast_softmax)
 
-        dp = jax.lax.dot_general(
-            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=dot_precision(v_ref.dtype),
-        )
-        # dS's *scale factor is deferred to the fp32 accumulator finalize —
-        # one (bq, d) multiply per q block instead of one (bq, bk) multiply
-        # per tile.
-        ds = p * (dp - delta_row)
-        dq_acc[...] += jax.lax.dot_general(
-            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=dot_precision(k_ref.dtype),
-        )
+            dp = jax.lax.dot_general(
+                do_ref[mem], v_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(v_ref.dtype),
+            )
+            # dS's *scale factor is deferred to the fp32 accumulator
+            # finalize — one (bq, d) multiply per q block instead of one
+            # (bq, bk) multiply per tile.
+            ds = p * (dp - delta_row)
+            dq_acc[mem] += jax.lax.dot_general(
+                ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(k_ref.dtype),
+            )
 
     in_bounds = step < counts_ref[qi]
     if has_partial and has_interior:
@@ -163,7 +168,7 @@ def _dq_kernel(
 
     @pl.when(step == num_steps - 1)
     def _finalize():
-        dq_ref[0] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
+        dq_ref[...] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
@@ -176,18 +181,11 @@ def _dkv_kernel(
     has_interior, has_partial, kv_group, fast_softmax,
 ):
     ki = pl.program_id(1)
-    # GQA: the innermost grid axis runs kv_group * num_steps steps — the
-    # schedule replayed once per query head of the group — so dK/dV
-    # accumulate over every query head sharing this KV row with a single
-    # writer (grid axis 0 is the KV batch; the q/do/stats index maps pick
-    # the group member from the step index).
-    raw_step = pl.program_id(2)
-    step = raw_step % num_steps if kv_group > 1 else raw_step
-    total_steps = kv_group * num_steps
+    step = pl.program_id(2)
     block_kv = k_ref.shape[1]
     block_q = q_ref.shape[1]
 
-    @pl.when(raw_step == 0)
+    @pl.when(step == 0)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -196,34 +194,41 @@ def _dkv_kernel(
         qb = table_ref[ki, step]
         mask = _tile_mask_or_none(masked, pack, rule, qb, ki, block_q, block_kv,
                                   q_len, k_len, q_len_padded, k_len_padded)
-        stats = stats_ref[0]
-        lse2_row = stats[:, 0:1]
-        delta_row = stats[:, 1:2]
-        # k arrives pre-scaled by scale*log2(e) (XLA-side; it feeds only the
-        # P recompute in this kernel — dK is an output, and the dK GEMM
-        # consumes unscaled q).
-        p = _recompute_p(q_ref[0], k_ref[0], lse2_row, mask, fast_softmax)
+        # GQA: q/do/stats arrive group-blocked — (g, block_q, ·) windows,
+        # one DMA per step for every query head sharing this KV row — and
+        # the mask is built once per step, not once per member.  (The
+        # round-3 design replayed the whole schedule once per member,
+        # streaming q/do g times; VERDICT r3 item 7.)
+        for mem in range(kv_group):
+            stats = stats_ref[mem]
+            lse2_row = stats[:, 0:1]
+            delta_row = stats[:, 1:2]
+            # k arrives pre-scaled by scale*log2(e) (XLA-side; it feeds
+            # only the P recompute in this kernel — dK is an output, and
+            # the dK GEMM consumes unscaled q).
+            p = _recompute_p(q_ref[mem], k_ref[0], lse2_row, mask,
+                             fast_softmax)
 
-        # dV += Pᵀ · dO
-        dv_acc[...] += jax.lax.dot_general(
-            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=dot_precision(do_ref.dtype),
-        )
-        # dS = P ∘ (dO·Vᵀ − D); the *scale factor is deferred to the fp32
-        # accumulator finalize (one (bk, d) multiply per kv block).
-        dp = jax.lax.dot_general(
-            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=dot_precision(v_ref.dtype),
-        )
-        ds = p * (dp - delta_row)
-        # dK += dSᵀ · Q
-        dk_acc[...] += jax.lax.dot_general(
-            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=dot_precision(q_ref.dtype),
-        )
+            # dV += Pᵀ · dO
+            dv_acc[...] += jax.lax.dot_general(
+                p.astype(do_ref.dtype), do_ref[mem], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(do_ref.dtype),
+            )
+            # dS = P ∘ (dO·Vᵀ − D); the *scale factor is deferred to the
+            # fp32 accumulator finalize (one (bk, d) multiply per kv block).
+            dp = jax.lax.dot_general(
+                do_ref[mem], v_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(v_ref.dtype),
+            )
+            ds = p * (dp - delta_row)
+            # dK += dSᵀ · Q
+            dk_acc[...] += jax.lax.dot_general(
+                ds.astype(q_ref.dtype), q_ref[mem], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q_ref.dtype),
+            )
 
     in_bounds = step < counts_ref[ki]
     if has_partial and has_interior:
@@ -241,7 +246,7 @@ def _dkv_kernel(
         def _only():
             update(has_partial)
 
-    @pl.when(raw_step == total_steps - 1)
+    @pl.when(step == num_steps - 1)
     def _finalize():
         dk_ref[0] = (dk_acc[...] * jnp.float32(scale)).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
@@ -369,6 +374,97 @@ def _fused_kernel(
         dq_ref[...] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
 
 
+def _fused_qouter_kernel(
+    table_ref, counts_ref, needs_ref,
+    q_ref, k_ref, v_ref, do_ref, stats_ref,
+    dq_ref, dk_ref, dv_ref,
+    dq_acc, dk_acc, dv_acc,
+    *,
+    pack, rule, scale, q_len, k_len, q_len_padded, k_len_padded, num_steps,
+    num_q_blocks, block_kv, kv_group, fast_softmax,
+):
+    """Q-outer fused backward: the GQA orientation of the 5-GEMM kernel.
+
+    The kv-outer fused kernel needs a ``(g, q_pad, d)`` dQ accumulator —
+    16 MB at g=8, S=4096 — because dQ is per *query* head.  dK/dV are per
+    *KV* head, shared by the whole group, so the q-outer orientation only
+    needs ``(k_pad, d)``-class accumulators regardless of g: K/V ride
+    resident (one DMA per batch row), dK/dV accumulate across the entire
+    (q-block, step) segment in whole-sequence fp32 VMEM scratch, and dQ
+    uses a small per-q-block scratch.  Same 5 scheduled GEMMs per
+    (tile, member); same deferred-scale trick as the kv-outer kernel.
+    """
+    qi = pl.program_id(1)
+    step = pl.program_id(2)
+    block_q = q_ref.shape[1]
+
+    @pl.when((qi == 0) & (step == 0))
+    def _init_kv():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(step == 0)
+    def _init_dq():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    def update(masked: bool):
+        kb = table_ref[qi, step]
+        col = pl.multiple_of(kb * block_kv, block_kv)
+        mask = _tile_mask_or_none(masked, pack, rule, qi, kb, block_q, block_kv,
+                                  q_len, k_len, q_len_padded, k_len_padded)
+        kk = k_ref[0, pl.ds(col, block_kv), :]
+        vv = v_ref[0, pl.ds(col, block_kv), :]
+        for mem in range(kv_group):
+            stats = stats_ref[mem]
+            lse2_row = stats[:, 0:1]
+            delta_row = stats[:, 1:2]
+            p = _recompute_p(q_ref[mem], kk, lse2_row, mask, fast_softmax)
+
+            dv_acc[pl.ds(col, block_kv), :] += jax.lax.dot_general(
+                p.astype(do_ref.dtype), do_ref[mem], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(do_ref.dtype),
+            )
+            dp = jax.lax.dot_general(
+                do_ref[mem], vv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(v_ref.dtype),
+            )
+            ds = p * (dp - delta_row)
+            # q is pre-scaled by scale*log2e: descale dK by 1/log2e and
+            # dQ by scale at the finalize writes.
+            dk_acc[pl.ds(col, block_kv), :] += jax.lax.dot_general(
+                ds.astype(q_ref.dtype), q_ref[mem], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q_ref.dtype),
+            )
+            dq_acc[mem] += jax.lax.dot_general(
+                ds.astype(k_ref.dtype), kk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(k_ref.dtype),
+            )
+
+    in_bounds = step < counts_ref[qi]
+    needs = needs_ref[qi, step] == 1
+
+    @pl.when(in_bounds & needs)
+    def _masked():
+        update(True)
+
+    @pl.when(in_bounds & jnp.logical_not(needs))
+    def _interior():
+        update(False)
+
+    @pl.when(step == num_steps - 1)
+    def _fin_dq():
+        dq_ref[...] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
+
+    @pl.when((qi == num_q_blocks - 1) & (step == num_steps - 1))
+    def _fin_kv():
+        dk_ref[0] = (dk_acc[...] * jnp.float32(INV_LOG2E)).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
 def flash_backward(
     q, k, v, o, l, m, do,
     *,
@@ -468,13 +564,80 @@ def flash_backward(
     k_padf = pad_to(k_len, block_kvf)
     if fused is None:
         import os
-        # Measured (tools/exp_fused_bwd.py): fused wins decisively at
-        # g<=2 (130.7 vs 92.2 useful TFLOP/s at g=1); at g=8 the grouped
-        # member loop + 16MB dQ scratch lose to the split replay, so
-        # large groups keep the split kernels.
-        fused = (os.environ.get("FA_FUSED_BWD", "1") != "0"
-                 and g <= 2
-                 and g * q_padf * d_pad * 4 <= 24 * 1024 * 1024)
+        # Measured (tools/exp_fused_bwd.py): the kv-outer fused kernel
+        # wins decisively at g<=2 (130.7 vs 92.2 useful TFLOP/s at g=1)
+        # but its (g, q_pad, d) dQ accumulator bloats with the group; for
+        # g>2 the q-outer orientation keeps the 5-GEMM schedule with
+        # group-size-independent accumulators.
+        if os.environ.get("FA_FUSED_BWD", "1") == "0":
+            fused = False
+        elif g <= 2 and g * q_padf * d_pad * 4 <= 24 * 1024 * 1024:
+            fused = "kv"
+        else:
+            # g > 2: the kv-outer dQ accumulator bloats with the group and
+            # the q-outer orientation measured slower than the
+            # group-blocked split on chip (3.63 vs 2.55 ms fwd+bwd at
+            # g=8, tools/exp_fused_bwd.py / docs/TUNING.md), so large
+            # groups take the split kernels; fused="q" remains available
+            # explicitly.
+            fused = False
+    if fused == "q" or (fused is True and g > 2):
+        sched_q = build_schedule(pack, rule, block_qf, block_kvf)
+        qkernel = functools.partial(
+            _fused_qouter_kernel, pack=pack, rule=rule, scale=scale,
+            q_len=q_len, k_len=k_len,
+            q_len_padded=q_padf, k_len_padded=k_padf,
+            num_steps=sched_q.num_steps,
+            num_q_blocks=sched_q.num_q_blocks,
+            block_kv=block_kvf,
+            kv_group=g,
+            fast_softmax=fast_softmax,
+        )
+        qg_idx = lambda b, qi, s, t, c, n: (b, qi, 0)
+        kres_idx = lambda b, qi, s, t, c, n: (b, 0, 0)
+        dq, dk, dv = pl.pallas_call(
+            qkernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(B_kv, sched_q.num_q_blocks, sched_q.num_steps),
+                in_specs=[
+                    pl.BlockSpec((g, block_qf, d_pad), qg_idx),
+                    pl.BlockSpec((1, k_padf, d_pad), kres_idx),
+                    pl.BlockSpec((1, k_padf, v_d_pad), kres_idx),
+                    pl.BlockSpec((g, block_qf, v_d_pad), qg_idx),
+                    pl.BlockSpec((g, block_qf, STATS_LANES), qg_idx),
+                ],
+                out_specs=[
+                    pl.BlockSpec((g, block_qf, d_pad), qg_idx),
+                    pl.BlockSpec((1, k_padf, d_pad), kres_idx),
+                    pl.BlockSpec((1, k_padf, v_d_pad), kres_idx),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((g, block_qf, d_pad), jnp.float32),
+                    pltpu.VMEM((k_padf, d_pad), jnp.float32),
+                    pltpu.VMEM((k_padf, v_d_pad), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, q_padf, d_pad), in_dtype),
+                jax.ShapeDtypeStruct((B_kv, k_padf, d_pad), in_dtype),
+                jax.ShapeDtypeStruct((B_kv, k_padf, v_d_pad), in_dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+                vmem_limit_bytes=VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(jnp.asarray(sched_q.kv_table), jnp.asarray(sched_q.kv_counts),
+          jnp.asarray(sched_q.needs_mask),
+          padded(q, q_padf, d_pad, prescale=True), padded(k, k_padf, d_pad),
+          padded(v, k_padf, v_d_pad), padded(do, q_padf, v_d_pad),
+          padded(stats, q_padf))
+        return (
+            dq[:, :q_len, :d],
+            dk[:, :k_len, :d],
+            dv[:, :k_len, :v_d],
+        )
     if fused:
         import os as _os
         sched_t = build_schedule(pack, rule, block_qf, block_kvf).transpose()
@@ -564,24 +727,29 @@ def flash_backward(
         num_steps=sched.num_steps,
         has_interior=bool((sched.live & ~sched.partial).any()),
         has_partial=bool(sched.partial.any()),
+        kv_group=g,
         fast_softmax=fast_softmax,
     )
+    # q/do/stats/dq group-blocked over the (batch·head) axis: grid runs
+    # over KV rows; one (g, block_q, ·) DMA per step serves every query
+    # head of the group, and the K/V window is fetched once per step
+    # (the round-3 layout streamed K/V once per member).
     qi_spec = lambda b, qi, s, t, c, n: (b, qi, 0)
-    kv_spec = lambda b, qi, s, t, c, n: (b // g, t[qi, s], 0)
+    kv_spec = lambda b, qi, s, t, c, n: (b, t[qi, s], 0)
     dq = pl.pallas_call(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B, sched.num_q_blocks, sched.num_steps),
+            grid=(B_kv, sched.num_q_blocks, sched.num_steps),
             in_specs=[
-                pl.BlockSpec((1, block_q, d_pad), qi_spec),
+                pl.BlockSpec((g, block_q, d_pad), qi_spec),
                 pl.BlockSpec((1, block_kv, d_pad), kv_spec),
                 pl.BlockSpec((1, block_kv, v_d_pad), kv_spec),
-                pl.BlockSpec((1, block_q, v_d_pad), qi_spec),
-                pl.BlockSpec((1, block_q, STATS_LANES), qi_spec),
+                pl.BlockSpec((g, block_q, v_d_pad), qi_spec),
+                pl.BlockSpec((g, block_q, STATS_LANES), qi_spec),
             ],
-            out_specs=[pl.BlockSpec((1, block_q, d_pad), qi_spec)],
-            scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+            out_specs=[pl.BlockSpec((g, block_q, d_pad), qi_spec)],
+            scratch_shapes=[pltpu.VMEM((g, block_q, d_pad), jnp.float32)],
         ),
         out_shape=[jax.ShapeDtypeStruct((B, q_pad_len, d_pad), in_dtype)],
         compiler_params=compiler_params,
@@ -611,21 +779,20 @@ def flash_backward(
         fast_softmax=fast_softmax,
     )
     ki_spec = lambda b, ki, s, t, c, n: (b, ki, 0)
-    # q/do/stats blocks: step axis enumerates (group member, schedule step)
-    # pairs; the group member selects the query (batch·head) row.
-    qb_spec = lambda b, ki, s, t, c, n: (
-        b * g + s // n_steps_t, t[ki, s % n_steps_t], 0)
+    # q/do/stats group-blocked: one (g, block_q, ·) window per schedule
+    # step serves every member; the member loop runs in-kernel.
+    qb_spec = lambda b, ki, s, t, c, n: (b, t[ki, s], 0)
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B_kv, sched_t.num_q_blocks, g * n_steps_t),
+            grid=(B_kv, sched_t.num_q_blocks, n_steps_t),
             in_specs=[
                 pl.BlockSpec((1, block_kv2, d_pad), ki_spec),
                 pl.BlockSpec((1, block_kv2, v_d_pad), ki_spec),
-                pl.BlockSpec((1, block_q2, d_pad), qb_spec),
-                pl.BlockSpec((1, block_q2, v_d_pad), qb_spec),
-                pl.BlockSpec((1, block_q2, STATS_LANES), qb_spec),
+                pl.BlockSpec((g, block_q2, d_pad), qb_spec),
+                pl.BlockSpec((g, block_q2, v_d_pad), qb_spec),
+                pl.BlockSpec((g, block_q2, STATS_LANES), qb_spec),
             ],
             out_specs=[
                 pl.BlockSpec((1, block_kv2, d_pad), ki_spec),

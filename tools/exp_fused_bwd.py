@@ -101,26 +101,39 @@ def main():
         print(f"{name}: min {mn*1e3:.4f} / median {med*1e3:.4f} ms  "
               f"{bwd_flops/med/1e12:.1f} useful TFLOP/s (median)", flush=True)
 
-    # GQA: grouped streaming vs round-3 replay, hq=8 hkv=1 per 8-group
-    print("\nGQA (B_kv=2, g=8):", flush=True)
+    # GQA (VERDICT r3 item 7): native grouped K/V (no materialisation)
+    # must not lose to repeat-materialised K/V on fwd+bwd.  Grouped now
+    # streams group-blocked (g, block_q) q/do windows in the split
+    # kernels; materialised pays g x the KV HBM footprint and g x the
+    # KV DMA but runs at g=1 (fused-eligible).
+    print("\nGQA fwd+bwd (B_kv=2, g=8):", flush=True)
     qg = t((16, S, D)); kg = t((2, S, D)); vg = t((2, S, D)); dog = t((16, S, D))
-    og, lg, mg = jax.block_until_ready(jax.jit(
-        lambda q, k, v: flash_forward(q, k, v, pack=pack, rule=rule,
-                                      config=fcfg))(qg, kg, vg))
-    for name, fused in [("split(replay)", False), ("fused(grouped)", True)]:
-        cfg = BlockConfig(1024, 1024, 1024, 512, 512, 1024)
-        fn = lambda q, k, v, o, l, m, do: flash_backward(
-            q, k, v, o, l, m, do, pack=pack, rule=rule, config=cfg,
-            fused=fused)
-        args = (qg, kg, vg, og, lg, mg, dog)
+    cfg = BlockConfig(1024, 1024, 1024, 512, 512, 1024)
+
+    def grouped(q, k, v, do):
+        o, l, m = flash_forward(q, k, v, pack=pack, rule=rule, config=cfg)
+        return flash_backward(q, k, v, o, l, m, do, pack=pack, rule=rule,
+                              config=cfg)
+
+    def materialized(q, k, v, do):
+        kr = jnp.repeat(k, 8, axis=0)
+        vr = jnp.repeat(v, 8, axis=0)
+        o, l, m = flash_forward(q, kr, vr, pack=pack, rule=rule, config=cfg)
+        dq, dk, dv = flash_backward(q, kr, vr, o, l, m, do, pack=pack,
+                                    rule=rule, config=cfg)
+        return dq, dk.reshape(2, 8, S, D).sum(1), dv.reshape(2, 8, S, D).sum(1)
+
+    for name, fn in [("grouped(native)", grouped),
+                     ("materialized(repeat)", materialized)]:
+        args = (qg, kg, vg, dog)
         try:
             jax.block_until_ready(jax.jit(fn)(*args))
         except Exception as e:
             print(f"  {name}: FAILED {str(e)[:200]}", flush=True)
             continue
-        samples = [device_time(fn, args, n=10) for _ in range(4)]
+        samples = [device_time(fn, args, n=8) for _ in range(4)]
         med = statistics.median(samples)
-        print(f"  {name}: median {med*1e3:.4f} ms", flush=True)
+        print(f"  {name}: median {med*1e3:.4f} ms (fwd+bwd)", flush=True)
 
 
 if __name__ == "__main__":

@@ -357,7 +357,9 @@ def main():
             L = shp[0] * shp[1]
             qq, kk, vv = t((B, L, D)), t((B, L, D)), t((B, L, D))
             f128_2d = matmul_flops_forward(rule2, "none_front", shp, shp, D, D, B)
-            cfg = BlockConfig(1024, 1024, 1024, 1024, 1024, 1024)
+            # solver default (waste-aware for narrow-band rules)
+            from tf_flash_attention_tpu.block_sizes import choose_block_config
+            cfg = choose_block_config(L, L, D, D, dtype, pack=pk, rule=rule2)
             fn2 = lambda q, k, v: flash_forward(q, k, v, pack=pk, rule=rule2,
                                                 config=cfg)[0]
             samples, _ = _sample(

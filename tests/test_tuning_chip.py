@@ -6,7 +6,16 @@ shape — closing the loop the reference's smem solver closes analytically
 (``flash_attention.cu:1977-2067``).  Skipped off-TPU (wall-time
 assertions are meaningless in interpret mode); run with
 ``FA_TEST_TPU=1 python -m pytest tests/test_tuning_chip.py -m slow``.
+
+Round-4 methodology: the chip is bimodal and the tunnel adds multi-ms
+jitter (docs/TUNING.md), so default and champion are sampled in
+*interleaved pairs* and compared by the MEDIAN of per-pair ratios —
+chip-state drift cancels within a pair, which is what lets the margin
+sit at the originally-asked 5% without flaking (round 3 had loosened a
+sequential-comparison margin to 12%).
 """
+
+import statistics
 
 import jax
 import jax.numpy as jnp
@@ -19,15 +28,24 @@ from tf_flash_attention_tpu.mask_rules import CausalRule
 from tf_flash_attention_tpu.ops.backward import flash_backward
 from tf_flash_attention_tpu.ops.forward import flash_forward
 from tf_flash_attention_tpu.sync_modes import make_sync_pack
-from tf_flash_attention_tpu.utils.profiling import device_time
+from tf_flash_attention_tpu.utils.profiling import device_time_samples
 
 S, B, D = 4096, 8, 128
 # Measured winners at the bench shape (docs/TUNING.md).
 BEST_FWD = (1024, 1024)
 BEST_BWD = (1024, 512, 512, 1024)
-# 12%: generous vs the asked ~5% to keep tunnel-noise flake out; a real
-# regression (wrong config class) shows up as 20-60% (docs/TUNING.md).
-MARGIN = 1.12
+# Median of interleaved-pair ratios; pairing cancels chip-state drift.
+MARGIN = 1.05
+PAIRS = 6
+
+
+def _paired_ratio(fn_default, fn_best, args, n=15):
+    ratios = []
+    for _ in range(PAIRS):
+        t_d = device_time_samples(fn_default, args, n=n, reps=3)
+        t_b = device_time_samples(fn_best, args, n=n, reps=3)
+        ratios.append(min(t_d) / min(t_b))
+    return statistics.median(ratios)
 
 
 @pytest.fixture(scope="module")
@@ -50,9 +68,8 @@ def test_default_forward_config_near_measured_best(chip_data):
     best_cfg = BlockConfig(*BEST_FWD, *BEST_FWD, *BEST_FWD)
     fn = lambda cfg: (lambda q, k, v: flash_forward(
         q, k, v, pack=pack, rule=rule, config=cfg)[0])
-    t_default = min(device_time(fn(default), (q, k, v)) for _ in range(2))
-    t_best = min(device_time(fn(best_cfg), (q, k, v)) for _ in range(2))
-    assert t_default <= t_best * MARGIN, (t_default, t_best)
+    ratio = _paired_ratio(fn(default), fn(best_cfg), (q, k, v))
+    assert ratio <= MARGIN, ratio
 
 
 @pytest.mark.slow
@@ -71,6 +88,5 @@ def test_default_backward_config_near_measured_best(chip_data):
     fn = lambda cfg: (lambda q, k, v, o, l, m, do: flash_backward(
         q, k, v, o, l, m, do, pack=pack, rule=rule, config=cfg))
     args = (q, k, v, o, l, m, k)
-    t_default = min(device_time(fn(default), args, n=10) for _ in range(2))
-    t_best = min(device_time(fn(best_cfg), args, n=10) for _ in range(2))
-    assert t_default <= t_best * MARGIN, (t_default, t_best)
+    ratio = _paired_ratio(fn(default), fn(best_cfg), args, n=10)
+    assert ratio <= MARGIN, ratio

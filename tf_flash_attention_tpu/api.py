@@ -121,7 +121,8 @@ def flash_attention(
         interpret = _default_interpret()
     if block_config is None:
         block_config = choose_block_config(
-            q_len, k_len, pad_to(d, LANE), pad_to(v_d, LANE), Q.dtype
+            q_len, k_len, pad_to(d, LANE), pad_to(v_d, LANE), Q.dtype,
+            pack=pack, rule=rule,
         )
 
     B = int(np.prod(batch_shape)) if batch_shape else 1

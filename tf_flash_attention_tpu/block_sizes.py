@@ -113,6 +113,50 @@ _DQ_PREF = [(1024, 512), (1024, 1024), (512, 512)]
 _DKV_PREF = [(512, 1024), (1024, 1024), (512, 512)]
 
 
+#: Per-block-size wall-time factors relative to the 1024-class, from the
+#: round-4 on-chip full-rule (zero-waste) rows in docs/TUNING.md, with the
+#: untested small sizes extrapolated from the causal rectangle sweep.
+#: time ~ scheduled_flops x _BQ_FACTOR[bq] x _BK_FACTOR[bk].
+_BQ_FACTOR = {2048: 1.0, 1024: 1.0, 512: 1.14, 256: 1.4, 128: 1.8}
+_BK_FACTOR = {2048: 0.95, 1024: 1.0, 512: 1.05, 256: 1.2, 128: 1.5}
+
+
+def _waste_aware_blocks(pack, rule, q_len, k_len, q_cap, k_cap,
+                        cost_fn, d_pad, v_d_pad, itemsize, vmem_budget):
+    """Schedule-aware tile choice for narrow-band rules.
+
+    Local rules with small windows schedule a large multiple of the
+    useful work at 1024-class tiles (measured 3.0x for the 2d w=8 bench
+    case — the 27-33 TFLOP/s "low end" of rounds 1-3 was tile-granularity
+    waste, not kernel slowness).  Candidates are ranked by
+    ``scheduled_flops x measured size factors``; the default preference
+    is kept unless a candidate predicts a >=20% win, so causal/full
+    stay on the measured (1024, 1024) frontier.
+    """
+    from .schedule import build_schedule
+
+    def sched_flops(bq, bk):
+        s = build_schedule(pack, rule, bq, bk)
+        return bq * bk * int(s.live.sum())
+
+    candidates = [(1024, 1024), (512, 1024), (1024, 512), (512, 512),
+                  (256, 512), (512, 256), (256, 256)]
+    best, best_cost, base_cost = None, None, None
+    for bq, bk in candidates:
+        if bq > q_cap or bk > k_cap:
+            continue
+        if cost_fn(bq, bk, d_pad, v_d_pad, itemsize) > vmem_budget:
+            continue
+        cost = sched_flops(bq, bk) * _BQ_FACTOR[bq] * _BK_FACTOR[bk]
+        if base_cost is None:
+            base_cost = cost  # first feasible candidate = default class
+        if best_cost is None or cost < best_cost:
+            best, best_cost = (bq, bk), cost
+    if best is None or base_cost is None or best_cost > 0.8 * base_cost:
+        return None
+    return best
+
+
 def choose_block_config(
     q_len: int,
     k_len: int,
@@ -120,6 +164,8 @@ def choose_block_config(
     v_d_pad: int,
     dtype,
     vmem_budget: int = DEFAULT_VMEM_BUDGET,
+    pack=None,
+    rule=None,
 ) -> BlockConfig:
     """Pick tile sizes: measured preference first, VMEM ladder fallback.
 
@@ -127,7 +173,9 @@ def choose_block_config(
     hardware transaction size, ``Bc`` solved from the remaining budget
     (``flash_attention.cu:1977-2012``).  Here the measured-best frontier
     (docs/TUNING.md) is consulted first; the analytic ladder solve covers
-    anything the budget or sequence caps exclude.
+    anything the budget or sequence caps exclude.  When ``pack``/``rule``
+    are provided and the rule masks, a schedule-aware pass may choose
+    smaller tiles for narrow-band rules (see ``_waste_aware_blocks``).
     """
     itemsize = jnp.dtype(dtype).itemsize
     q_cap = max(MIN_BLOCK, pad_to(min(q_len, 2048), LANE))
@@ -156,6 +204,14 @@ def choose_block_config(
     fq, fk = solve(_fwd_vmem_bytes, _FWD_PREF)
     dq_q, dq_k = solve(_bwd_vmem_bytes, _DQ_PREF)
     dkv_q, dkv_k = solve(_bwd_vmem_bytes, _DKV_PREF)
+    if pack is not None and rule is not None and not rule.is_full:
+        waste = _waste_aware_blocks(pack, rule, q_len, k_len, q_cap, k_cap,
+                                    _fwd_vmem_bytes, d_pad, v_d_pad,
+                                    itemsize, vmem_budget)
+        if waste is not None:
+            fq, fk = waste
+            dq_q, dq_k = waste
+            dkv_q, dkv_k = waste[1], waste[0]
     return BlockConfig(
         block_q=fq, block_kv=fk,
         block_q_dq=dq_q, block_kv_dq=dq_k,

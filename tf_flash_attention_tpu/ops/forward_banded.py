@@ -52,6 +52,11 @@ RESIDENT_KV_BUDGET = 40 * 1024 * 1024
 STATS_LANES = 8  # must match forward.STATS_LANES (single packed stats tensor)
 
 
+def _stats_lanes() -> int:
+    import os
+    return 8 if os.environ.get("FA_NARROW_STATS") else 128
+
+
 def _banded_kernel(
     seg_ref,                      # scalar prefetch: (n_q, 4) int32
     q_ref, k_ref, v_ref,          # q block; resident K/V rows
@@ -190,8 +195,11 @@ def banded_forward(
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, v_d_pad), jnp.float32),
-            pltpu.VMEM((block_q, LANE), jnp.float32),
-            pltpu.VMEM((block_q, LANE), jnp.float32),
+            # FA_NARROW_STATS=1: 8-lane m/l scratch (experimental knob —
+            # cuts the per-step broadcast stores 16x; measured via
+            # tools/exp_frontier_r4.py before being made default).
+            pltpu.VMEM((block_q, _stats_lanes()), jnp.float32),
+            pltpu.VMEM((block_q, _stats_lanes()), jnp.float32),
         ],
     )
     return pl.pallas_call(

@@ -68,14 +68,19 @@ def main():
         return f
 
     # 2. forward frontier
-    for name, bq, bk, banded in [
-        ("table  1024x1024", 1024, 1024, False),
-        ("banded 1024x1024", 1024, 1024, True),
-        ("banded 2048x1024", 2048, 1024, True),
-        ("banded 2048x2048", 2048, 2048, True),
+    for name, bq, bk, banded, narrow in [
+        ("table  1024x1024", 1024, 1024, False, False),
+        ("banded 1024x1024", 1024, 1024, True, False),
+        ("banded 1024x1024 narrow-stats", 1024, 1024, True, True),
+        ("banded 2048x1024", 2048, 1024, True, False),
+        ("banded 2048x2048", 2048, 2048, True, False),
     ]:
         cfg = BlockConfig(bq, bk, bq, bk, bq, bk)
         os.environ["FA_BANDED"] = "1" if banded else "0"
+        if narrow:
+            os.environ["FA_NARROW_STATS"] = "1"
+        else:
+            os.environ.pop("FA_NARROW_STATS", None)
         fn = lambda q, k, v, cfg=cfg: flash_forward(
             q, k, v, pack=pack, rule=rule, config=cfg)[0]
         try:
@@ -88,6 +93,7 @@ def main():
               f"{min(s)*1e3:.4f}  -> {f128/med(s)/1e12:.1f} TFLOP/s "
               f"128-priced", flush=True)
     os.environ.pop("FA_BANDED", None)
+    os.environ.pop("FA_NARROW_STATS", None)
 
     # 3. fused backward frontier
     fcfg = BlockConfig(1024, 1024, 1024, 1024, 1024, 1024)

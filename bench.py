@@ -270,8 +270,8 @@ def main():
             config=BlockConfig(*best_cfg, *best_cfg, *best_cfg)))(q, k, v))
     bwd_flops = matmul_flops_backward(rule, "none_front", (S,), (S,), D, D, B)
     bwd_floor = bwd_flops / (mxu_ref * 1e12) if mxu_ref else None
-    bwd_configs = ([(512, 1024, True)] if fast else
-                   [(1024, 1024, True), (512, 1024, True)])
+    bwd_configs = ([(512, 512, True)] if fast else
+                   [(512, 512, True), (512, 1024, True)])
     if time.time() - t0 > budget_s:
         bwd_configs = bwd_configs[:1]
     bwd_table = []

@@ -33,7 +33,7 @@ from tf_flash_attention_tpu.utils.profiling import device_time_samples
 S, B, D = 4096, 8, 128
 # Measured winners at the bench shape (docs/TUNING.md).
 BEST_FWD = (1024, 1024)
-BEST_BWD = (1024, 512, 512, 1024)
+BEST_BWD = (1024, 512, 512, 512)
 # Median of interleaved-pair ratios; pairing cancels chip-state drift.
 MARGIN = 1.05
 PAIRS = 6

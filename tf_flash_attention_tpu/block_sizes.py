@@ -110,7 +110,11 @@ def _bwd_vmem_bytes(bq: int, bk: int, dp: int, vdp: int, itemsize: int) -> int:
 # overlap behaviour is not captured by a byte-budget model.
 _FWD_PREF = [(1024, 1024), (1024, 512), (512, 512)]
 _DQ_PREF = [(1024, 512), (1024, 1024), (512, 512)]
-_DKV_PREF = [(512, 1024), (1024, 1024), (512, 512)]
+# (512, 512) first: the round-4 fused kernel's measured winner (153 vs
+# 136 useful TFLOP/s at (512, 1024), tools/exp_frontier_r4.py); the
+# split dK/dV kernel (GQA fallback) measured best at (512, 1024), which
+# stays second for shapes where 512^2 doesn't fit.
+_DKV_PREF = [(512, 512), (512, 1024), (1024, 1024)]
 
 
 #: Per-block-size wall-time factors relative to the 1024-class, from the
@@ -129,9 +133,16 @@ def _waste_aware_blocks(pack, rule, q_len, k_len, q_cap, k_cap,
     useful work at 1024-class tiles (measured 3.0x for the 2d w=8 bench
     case — the 27-33 TFLOP/s "low end" of rounds 1-3 was tile-granularity
     waste, not kernel slowness).  Candidates are ranked by
-    ``scheduled_flops x measured size factors``; the default preference
-    is kept unless a candidate predicts a >=20% win, so causal/full
-    stay on the measured (1024, 1024) frontier.
+    ``scheduled_flops x measured size factors``.
+
+    MEASURED NEGATIVE RESULT (round 4, tools/exp_frontier_r4.py): on the
+    attached v5e even a 3.0x-waste case runs FASTER at (1024, 1024) than
+    the 1.6x-waste (512, 512) pick (0.331 vs 0.353 ms) — per-segment
+    overheads dominate when the live band per tile row is tiny, so the
+    predicted win never materializes.  This pass is therefore OPT-IN
+    (``FA_WASTE_AWARE=1``); the analysis stands as the root-cause record
+    for the 2d local "low end" (it is pricing granularity, not kernel
+    rate — the same case runs ~91 TFLOP/s in scheduled terms).
     """
     from .schedule import build_schedule
 
@@ -204,7 +215,9 @@ def choose_block_config(
     fq, fk = solve(_fwd_vmem_bytes, _FWD_PREF)
     dq_q, dq_k = solve(_bwd_vmem_bytes, _DQ_PREF)
     dkv_q, dkv_k = solve(_bwd_vmem_bytes, _DKV_PREF)
-    if pack is not None and rule is not None and not rule.is_full:
+    import os
+    if (pack is not None and rule is not None and not rule.is_full
+            and os.environ.get("FA_WASTE_AWARE")):
         waste = _waste_aware_blocks(pack, rule, q_len, k_len, q_cap, k_cap,
                                     _fwd_vmem_bytes, d_pad, v_d_pad,
                                     itemsize, vmem_budget)

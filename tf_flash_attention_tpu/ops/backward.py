@@ -571,15 +571,19 @@ def flash_backward(
         # group-size-independent accumulators.
         if os.environ.get("FA_FUSED_BWD", "1") == "0":
             fused = False
-        elif g <= 2 and g * q_padf * d_pad * 4 <= 24 * 1024 * 1024:
+        elif (g * q_padf * d_pad * 4 <= 24 * 1024 * 1024
+              and (g == 1 or block_kvf <= 512)):
+            # kv-outer fused wins at every group size PROVIDED the kv
+            # window stays <=512 for grouped runs: at g=8, (512,512)
+            # blocks measure 1.17 ms vs the split's 1.44, while
+            # (512,1024) collapses to 2.66 (the g-member loop x 1024-wide
+            # windows breaks the pipeline) — docs/TUNING.md round 4.
+            # The solver default (512,512) satisfies this.
             fused = "kv"
         else:
-            # g > 2: the kv-outer dQ accumulator bloats with the group and
-            # the q-outer orientation measured slower than the
-            # group-blocked split on chip (3.63 vs 2.55 ms fwd+bwd at
-            # g=8, tools/exp_fused_bwd.py / docs/TUNING.md), so large
-            # groups take the split kernels; fused="q" remains available
-            # explicitly.
+            # Oversized dQ accumulator (very long q) or a wide-kv grouped
+            # config: split kernels.  fused="q" remains available
+            # explicitly (measured slower, docs/TUNING.md).
             fused = False
     if fused == "q" or (fused is True and g > 2):
         sched_q = build_schedule(pack, rule, block_qf, block_kvf)

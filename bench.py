@@ -254,12 +254,15 @@ def main():
 
     long_seq = None
     if not fast and not _skip("long_seq"):
-        # BASELINE's target range is seq 1k-64k; S=16384 amortizes the
-        # causal diagonal's tile-granularity waste AND averages over the
-        # chip's minute-scale state flips (a ~1 ms kernel straddles them,
-        # so its median is the steadier estimator).  The best in-range
-        # config is the headline.
-        S2, B2 = 16384, 2
+        # BASELINE's target range is seq 1k-64k; a long sequence
+        # amortizes the causal diagonal's tile-granularity waste AND
+        # averages over the chip's minute-scale state flips (a ~2 ms
+        # kernel straddles them, so its median is the steadier
+        # estimator).  The best in-range config is the headline.
+        # S=32k B=1 measured best in the long-seq block sweep
+        # (docs/TUNING.md round 4: 140 TFLOP/s in a degraded window vs
+        # 117-131 for the 16k variants).
+        S2, B2 = 32768, 1
         q2, k2, v2 = t((B2, S2, D)), t((B2, S2, D)), t((B2, S2, D))
         pack2 = make_sync_pack("none_front", (S2,), (S2,))
         f128_2 = matmul_flops_forward(rule, "none_front", (S2,), (S2,), D, D, B2)
@@ -270,7 +273,7 @@ def main():
             rule, "none_front", (S2,), (S2,), D, D, B2, 1024, 1024)
         samples, dropped = _sample(
             device_time_samples, fn2, (q2, k2, v2),
-            flops_sched2 / (mxu_ref * 1e12) if mxu_ref else None, reps, n=10)
+            flops_sched2 / (mxu_ref * 1e12) if mxu_ref else None, reps, n=8)
         if samples:
             dt_med = statistics.median(samples)
             long_seq = {

@@ -297,9 +297,14 @@ def flash_forward(
     sched = build_schedule(pack, rule, block_q, block_kv,
                            q_compute=q_compute, kv_compute=kv_compute)
     num_steps = sched.num_steps
-    # Sub-tile skipping engages whenever compute sub-tiling is active and
-    # the schedule has partially-visible tiles to prune inside.
-    sub_skip = (sched.sub_live is not None and bool(sched.partial.any()))
+    # Sub-tile skipping is opt-in (FA_SUBSKIP=1): it prunes masked-out
+    # sub-tiles of live tiles via per-sub-tile pl.when bitmasks, but the
+    # branches measured 2-3x SLOWER on v5e (docs/TUNING.md round 4) —
+    # compute sub-tiling without the flag keeps its original
+    # pipeline-overlap semantics.
+    import os as _os
+    sub_skip = (sched.sub_live is not None and bool(sched.partial.any())
+                and _os.environ.get("FA_SUBSKIP") == "1")
 
     import os
     if fast_softmax is None:

@@ -28,7 +28,7 @@ from tf_flash_attention_tpu.mask_rules import CausalRule
 from tf_flash_attention_tpu.ops.backward import flash_backward
 from tf_flash_attention_tpu.ops.forward import flash_forward
 from tf_flash_attention_tpu.sync_modes import make_sync_pack
-from tf_flash_attention_tpu.utils.profiling import device_time_samples
+from tf_flash_attention_tpu.utils.profiling import ChainTimer
 
 S, B, D = 4096, 8, 128
 # Measured winners at the bench shape (docs/TUNING.md).
@@ -40,10 +40,14 @@ PAIRS = 6
 
 
 def _paired_ratio(fn_default, fn_best, args, n=15):
+    # persistent timers: the chains are jitted once and auto-scaled to the
+    # jitter floor (ChainTimer docstring); pairs then cost two dispatches
+    timer_d = ChainTimer(fn_default, args, n=n)
+    timer_b = ChainTimer(fn_best, args, n=n)
     ratios = []
     for _ in range(PAIRS):
-        t_d = device_time_samples(fn_default, args, n=n, reps=3)
-        t_b = device_time_samples(fn_best, args, n=n, reps=3)
+        t_d = timer_d.sample(reps=3)
+        t_b = timer_b.sample(reps=3)
         ratios.append(min(t_d) / min(t_b))
     return statistics.median(ratios)
 

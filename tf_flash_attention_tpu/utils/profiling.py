@@ -23,7 +23,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-__all__ = ["device_time", "device_time_samples", "Roofline", "V5E"]
+__all__ = ["ChainTimer", "device_time", "device_time_samples", "Roofline", "V5E"]
 
 
 def device_time(fn, args, n: int = 20, reps: int = 3) -> float:
@@ -45,69 +45,116 @@ def device_time(fn, args, n: int = 20, reps: int = 3) -> float:
     estimate is the MEDIAN of the per-rep differences (robust to a
     single rep straddling a state flip or catching a jitter spike).
     Reps whose paired difference is non-positive or absurd are discarded.
+
+    The carry of the measurement chain depends on EVERY output leaf —
+    otherwise XLA dead-code-eliminates whole sub-computations of
+    multi-output functions (e.g. the dK/dV kernel of a backward pass) and
+    the measurement silently covers only part of the work.
     """
-
-    def chained(args, length):
-        def body(carry, _):
-            perturbed = (args[0] * (1.0 + carry * 1e-30)).astype(args[0].dtype)
-            out = fn(*((perturbed,) + tuple(args[1:])))
-            # The carry must depend on EVERY output leaf — otherwise XLA
-            # dead-code-eliminates whole sub-computations of multi-output
-            # functions (e.g. the dK/dV kernel of a backward pass) and the
-            # measurement silently covers only part of the work.
-            leaves = jax.tree_util.tree_leaves(out)
-            acc = jnp.float32(0)
-            for leaf in leaves:
-                acc = acc + leaf.ravel()[0].astype(jnp.float32)
-            return acc, None
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
-        return c
-
     diffs = device_time_samples(fn, args, n=n, reps=reps)
     diffs = sorted(diffs)
     return diffs[len(diffs) // 2]
 
 
-def device_time_samples(fn, args, n: int = 20, reps: int = 3):
-    """Per-rep paired-difference wall-time samples (seconds per call).
+class ChainTimer:
+    """Reusable paired-difference device timer for one ``fn(*args)``.
 
-    Jits the short/long measurement chains ONCE and reuses them across
-    reps (a fresh jit per sample costs a compile-cache round-trip through
-    the tunnel each time).  Returns one paired difference per rep; reps
-    whose difference is non-positive or absurd are replaced by the long
-    chain's amortised upper bound (conservative, never flattering).
+    Jits a short and a long ``lax.scan`` measurement chain ONCE (a fresh
+    jit per sample costs a compile-cache round-trip through the tunnel
+    each time) and reuses them across calls — a benchmark can re-probe
+    the same kernel across sampling windows for the cost of two
+    dispatches per sample.
+
+    Chain-length auto-scaling (round 5): the tunnel adds multi-ms
+    scheduling jitter to every dispatch, so the differencing SIGNAL —
+    ``(n - n_short) x t_call`` — must dominate that jitter or the
+    estimate is a lottery.  BENCH_r04's int4-decode "collapse" (2.85
+    ms/step vs a true ~0.3 ms) was exactly this: a 0.3 ms kernel at
+    n=10 has a 2.1 ms signal, below the jitter floor, so reps collapsed
+    into the ``t_l/n`` fallback (which amortises the ~25 ms RTT over 10
+    calls).  The long chain is therefore re-jitted once, at
+    construction, with enough iterations that the signal is at least
+    ``min_signal_s`` (36 ms default ≈ 3-10x the observed jitter;
+    measured per-rep spread at a 48 ms signal is ±5%), and samples
+    whose paired difference is non-positive or absurd are DISCARDED and
+    re-measured (up to 3x the requested count) rather than silently
+    replaced with the RTT-polluted fallback.
+
+    The carry of the measurement chain depends on EVERY output leaf —
+    otherwise XLA dead-code-eliminates whole sub-computations of
+    multi-output functions (e.g. the dK/dV kernel of a backward pass)
+    and the measurement silently covers only part of the work.
     """
 
-    def chained(args, length):
-        def body(carry, _):
-            perturbed = (args[0] * (1.0 + carry * 1e-30)).astype(args[0].dtype)
-            out = fn(*((perturbed,) + tuple(args[1:])))
-            leaves = jax.tree_util.tree_leaves(out)
-            acc = jnp.float32(0)
-            for leaf in leaves:
-                acc = acc + leaf.ravel()[0].astype(jnp.float32)
-            return acc, None
+    def __init__(self, fn, args, n: int = 20, min_signal_s: float = 0.036):
+        self.args = args
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
-        return c
+        def chained(args, length):
+            def body(carry, _):
+                perturbed = (args[0] * (1.0 + carry * 1e-30)).astype(args[0].dtype)
+                out = fn(*((perturbed,) + tuple(args[1:])))
+                leaves = jax.tree_util.tree_leaves(out)
+                acc = jnp.float32(0)
+                for leaf in leaves:
+                    acc = acc + leaf.ravel()[0].astype(jnp.float32)
+                return acc, None
 
-    n_short = max(2, n // 3)
-    f_short = jax.jit(lambda *a: chained(a, n_short))
-    f_long = jax.jit(lambda *a: chained(a, n))
-    float(f_short(*args))
-    float(f_long(*args))
-    samples = []
-    for _ in range(max(3, reps)):
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
+            return c
+
+        self.n_short = max(2, n // 3)
+        self.f_short = jax.jit(lambda *a: chained(a, self.n_short))
+        f_long = jax.jit(lambda *a: chained(a, n))
+        float(self.f_short(*args))
         t0 = time.perf_counter()
-        float(f_short(*args))
-        t_s = time.perf_counter() - t0
+        float(self.f_short(*args))
+        t_s0 = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(f_long(*args))
-        t_l = time.perf_counter() - t0
-        d = (t_l - t_s) / (n - n_short)
-        samples.append(d if 0 < d <= t_l / n * 1.5 else t_l / n)
-    return samples
+        t_l0 = time.perf_counter() - t0
+        if min_signal_s and (t_l0 - t_s0) < min_signal_s:
+            # estimate the per-call time robustly: the paired diff when
+            # sane, else the long chain minus a nominal 25 ms dispatch RTT
+            d0 = (t_l0 - t_s0) / (n - self.n_short)
+            t_hat = max(d0, (t_l0 - 0.025) / n, 1e-6)
+            n_new = min(1024, self.n_short + int(-(-min_signal_s // t_hat)))
+            if n_new > n:
+                n = n_new
+                f_long = jax.jit(lambda *a: chained(a, n))
+                float(f_long(*args))
+        self.n = n
+        self.f_long = f_long
+
+    def sample(self, reps: int = 3):
+        """``reps`` per-call wall-time samples (seconds), freshly measured."""
+        samples = []
+        attempts = 0
+        t_l = None
+        while len(samples) < max(1, reps) and attempts < 3 * max(1, reps):
+            attempts += 1
+            t0 = time.perf_counter()
+            float(self.f_short(*self.args))
+            t_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(self.f_long(*self.args))
+            t_l = time.perf_counter() - t0
+            d = (t_l - t_s) / (self.n - self.n_short)
+            if 0 < d <= t_l / self.n * 1.5:
+                samples.append(d)
+        if not samples:
+            samples = [t_l / self.n]  # conservative last resort
+        return samples
+
+
+def device_time_samples(fn, args, n: int = 20, reps: int = 3,
+                        min_signal_s: float = 0.036):
+    """Per-rep paired-difference wall-time samples (seconds per call).
+
+    One-shot form of ``ChainTimer`` (see its docstring for the estimator
+    and the round-5 chain-length auto-scaling rationale).
+    """
+    return ChainTimer(fn, args, n=n, min_signal_s=min_signal_s).sample(
+        reps=max(3, reps))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -258,7 +258,9 @@ def main():
         lambda q, k, v: flash_forward(q, k, v, pack=pack, rule=rule,
                                       config=cfg_1k))(q, k, v))
     bwd_flops = matmul_flops_backward(rule, "none_front", (S,), (S,), D, D, B)
-    for bq2, bk2 in [(512, 512), (512, 1024)]:
+    # round-5 banded fused frontier: (1024, 512) peak-rate winner, with
+    # (1024, 1024) as the second config (docs/TUNING.md round 5)
+    for bq2, bk2 in [(1024, 512), (1024, 1024)]:
         cfgb = BlockConfig(1024, 1024, min(1024, S), min(512, S),
                            min(bq2, S), min(bk2, S))
         fnb = lambda q, k, v, o, l, m, do, c=cfgb: flash_backward(

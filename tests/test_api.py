@@ -194,7 +194,11 @@ def test_solver_tracks_measured_frontier():
     cfg = choose_block_config(4096, 4096, 128, 128, jnp.bfloat16)
     assert (cfg.block_q, cfg.block_kv) == (1024, 1024)
     assert (cfg.block_q_dq, cfg.block_kv_dq) == (1024, 512)
-    assert (cfg.block_q_dkv, cfg.block_kv_dkv) == (512, 512)
+    # round-5 banded-fused frontier: (1024, 512) for ungrouped,
+    # (512, 512) for GQA groups > 2 (docs/TUNING.md round 5)
+    assert (cfg.block_q_dkv, cfg.block_kv_dkv) == (1024, 512)
+    gqa = choose_block_config(4096, 4096, 128, 128, jnp.bfloat16, kv_group=8)
+    assert (gqa.block_q_dkv, gqa.block_kv_dkv) == (512, 512)
     # sub-tiling knobs measured dead on v5e (docs/TUNING.md): solver leaves
     # them off
     assert cfg.block_kv_compute is None and cfg.block_q_compute is None

@@ -31,9 +31,10 @@ from tf_flash_attention_tpu.sync_modes import make_sync_pack
 from tf_flash_attention_tpu.utils.profiling import ChainTimer
 
 S, B, D = 4096, 8, 128
-# Measured winners at the bench shape (docs/TUNING.md).
+# Measured winners at the bench shape (docs/TUNING.md; round 5: banded
+# fused backward frontier (1024, 512) for the ungrouped dkv blocks).
 BEST_FWD = (1024, 1024)
-BEST_BWD = (1024, 512, 512, 512)
+BEST_BWD = (1024, 512, 1024, 512)
 # Median of interleaved-pair ratios; pairing cancels chip-state drift.
 MARGIN = 1.05
 PAIRS = 6

@@ -110,19 +110,29 @@ def _bwd_vmem_bytes(bq: int, bk: int, dp: int, vdp: int, itemsize: int) -> int:
 # overlap behaviour is not captured by a byte-budget model.
 _FWD_PREF = [(1024, 1024), (1024, 512), (512, 512)]
 _DQ_PREF = [(1024, 512), (1024, 1024), (512, 512)]
-# (512, 512) first: the round-4 fused kernel's measured winner (153 vs
-# 136 useful TFLOP/s at (512, 1024), tools/exp_frontier_r4.py); the
-# split dK/dV kernel (GQA fallback) measured best at (512, 1024), which
-# stays second for shapes where 512^2 doesn't fit.
-_DKV_PREF = [(512, 512), (512, 1024), (1024, 1024)]
+# Round-5 banded fused-backward frontier (tools/ sweeps, docs/TUNING.md
+# round 5): the fused kernel has no online-merge chain, so narrow kv
+# tiles pipeline freely — (1024, 512) runs at the chip's measured dense
+# peak in scheduled terms (192 useful TFLOP/s degraded-window vs 141 for
+# the round-4 (512, 512) pick).  GQA groups g > 2 invert the ordering
+# (the g-member loop over wide q rows breaks the pipeline: g=8 measures
+# 70 useful at (1024, 512) vs 144 at (512, 512)), hence the split lists.
+_DKV_PREF = [(1024, 512), (512, 512), (512, 1024)]
+_DKV_PREF_GROUPED = [(512, 512), (512, 1024), (1024, 1024)]
 
 
-#: Per-block-size wall-time factors relative to the 1024-class, from the
-#: round-4 on-chip full-rule (zero-waste) rows in docs/TUNING.md, with the
-#: untested small sizes extrapolated from the causal rectangle sweep.
-#: time ~ scheduled_flops x _BQ_FACTOR[bq] x _BK_FACTOR[bk].
-_BQ_FACTOR = {2048: 1.0, 1024: 1.0, 512: 1.14, 256: 1.4, 128: 1.8}
-_BK_FACTOR = {2048: 0.95, 1024: 1.0, 512: 1.05, 256: 1.2, 128: 1.5}
+#: Measured per-scheduled-FLOP wall-time factors relative to (1024, 1024),
+#: from the round-5 on-chip narrow-band sweep WITH delta masks
+#: (tools/exp_2d_sweep.py + the delta-mask A/B, docs/TUNING.md round 5).
+#: The factors are PAIR costs, not separable bq x bk products: the
+#: penalty is dominated by the per-kv-step online-merge chain (an
+#: (block_q, v_d) accumulator rescale per step regardless of kv width),
+#: so narrow-kv configs pay disproportionately.
+_PAIR_FACTOR = {
+    (1024, 1024): 1.00, (512, 1024): 1.05, (1024, 512): 1.40,
+    (512, 512): 1.65, (512, 256): 3.10, (256, 256): 2.90,
+    (1024, 128): 3.60, (512, 128): 4.50,
+}
 
 
 def _waste_aware_blocks(pack, rule, q_len, k_len, q_cap, k_cap,
@@ -131,18 +141,17 @@ def _waste_aware_blocks(pack, rule, q_len, k_len, q_cap, k_cap,
 
     Local rules with small windows schedule a large multiple of the
     useful work at 1024-class tiles (measured 3.0x for the 2d w=8 bench
-    case — the 27-33 TFLOP/s "low end" of rounds 1-3 was tile-granularity
-    waste, not kernel slowness).  Candidates are ranked by
-    ``scheduled_flops x measured size factors``.
+    case).  Candidates are ranked by ``scheduled_flops x measured pair
+    factor`` and the winner must beat the default class by >= 15%
+    predicted — conservative, because the factors are state-dependent
+    (docs/TUNING.md).
 
-    MEASURED NEGATIVE RESULT (round 4, tools/exp_frontier_r4.py): on the
-    attached v5e even a 3.0x-waste case runs FASTER at (1024, 1024) than
-    the 1.6x-waste (512, 512) pick (0.331 vs 0.353 ms) — per-segment
-    overheads dominate when the live band per tile row is tiny, so the
-    predicted win never materializes.  This pass is therefore OPT-IN
-    (``FA_WASTE_AWARE=1``); the analysis stands as the root-cause record
-    for the 2d local "low end" (it is pricing granularity, not kernel
-    rate — the same case runs ~91 TFLOP/s in scheduled terms).
+    Round-4 note (kept for the record): with the old arithmetic tile
+    masks and the round-4 noisy estimator this pass measured negative
+    and was opt-out.  Round 5 re-measured with delta masks and the
+    jitter-proof timer: (512, 1024) beats (1024, 1024) by ~20% on the 2d
+    w=8 bench case (0.245 vs 0.298 ms), so the pass is ON by default for
+    masking rules (FA_WASTE_AWARE=0 disables).
     """
     from .schedule import build_schedule
 
@@ -150,20 +159,18 @@ def _waste_aware_blocks(pack, rule, q_len, k_len, q_cap, k_cap,
         s = build_schedule(pack, rule, bq, bk)
         return bq * bk * int(s.live.sum())
 
-    candidates = [(1024, 1024), (512, 1024), (1024, 512), (512, 512),
-                  (256, 512), (512, 256), (256, 256)]
     best, best_cost, base_cost = None, None, None
-    for bq, bk in candidates:
+    for bq, bk in sorted(_PAIR_FACTOR, key=lambda c: -c[0] * c[1]):
         if bq > q_cap or bk > k_cap:
             continue
         if cost_fn(bq, bk, d_pad, v_d_pad, itemsize) > vmem_budget:
             continue
-        cost = sched_flops(bq, bk) * _BQ_FACTOR[bq] * _BK_FACTOR[bk]
+        cost = sched_flops(bq, bk) * _PAIR_FACTOR[bq, bk]
         if base_cost is None:
             base_cost = cost  # first feasible candidate = default class
         if best_cost is None or cost < best_cost:
             best, best_cost = (bq, bk), cost
-    if best is None or base_cost is None or best_cost > 0.8 * base_cost:
+    if best is None or base_cost is None or best_cost > 0.85 * base_cost:
         return None
     return best
 
@@ -177,6 +184,7 @@ def choose_block_config(
     vmem_budget: int = DEFAULT_VMEM_BUDGET,
     pack=None,
     rule=None,
+    kv_group: int = 1,
 ) -> BlockConfig:
     """Pick tile sizes: measured preference first, VMEM ladder fallback.
 
@@ -214,17 +222,19 @@ def choose_block_config(
 
     fq, fk = solve(_fwd_vmem_bytes, _FWD_PREF)
     dq_q, dq_k = solve(_bwd_vmem_bytes, _DQ_PREF)
-    dkv_q, dkv_k = solve(_bwd_vmem_bytes, _DKV_PREF)
+    dkv_q, dkv_k = solve(_bwd_vmem_bytes,
+                         _DKV_PREF_GROUPED if kv_group > 2 else _DKV_PREF)
     import os
     if (pack is not None and rule is not None and not rule.is_full
-            and os.environ.get("FA_WASTE_AWARE")):
+            and os.environ.get("FA_WASTE_AWARE", "1") != "0"):
         waste = _waste_aware_blocks(pack, rule, q_len, k_len, q_cap, k_cap,
                                     _fwd_vmem_bytes, d_pad, v_d_pad,
                                     itemsize, vmem_budget)
         if waste is not None:
+            # forward only: the backward kernels have not been re-swept
+            # with narrow-band configs (their 512-class defaults already
+            # bound the waste at 1.6x for the bench 2d case)
             fq, fk = waste
-            dq_q, dq_k = waste
-            dkv_q, dkv_k = waste[1], waste[0]
     return BlockConfig(
         block_q=fq, block_kv=fk,
         block_q_dq=dq_q, block_kv_dq=dq_k,

@@ -374,6 +374,90 @@ def _fused_kernel(
         dq_ref[...] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
 
 
+def _fused_banded_kernel(
+    seg_ref,
+    k_ref, v_ref, q_ref, do_ref, stats_ref,
+    dk_ref, dv_ref, dq_ref,
+    dk_acc, dv_acc, dq_acc,
+    *,
+    pack, rule, scale, q_len, k_len, q_len_padded, k_len_padded,
+    num_kv_blocks, kv_group, block_q, fast_softmax,
+):
+    """Banded fused backward: the 5-GEMM kv-outer kernel with the q-step
+    grid axis turned into in-kernel ``fori_loop``s over segment bounds.
+
+    Same trade as the banded forward (``ops/forward_banded.py``): each kv
+    block executes exactly ``masked prefix → interior → masked suffix``
+    over the transposed schedule's live q band with zero per-tile grid
+    bookkeeping and no ``pl.when`` branches.  Requires q/dO/stats
+    residency (whole-row windows — the ``resident`` mode of
+    ``_fused_kernel``) and a banded transposed schedule; the table-driven
+    fused kernel remains the spec and the fallback.  Gradient math is
+    identical (``flash_attention.cu:1899-1940``); scale handling as in
+    ``_fused_kernel``.
+    """
+    ki = pl.program_id(1)
+    block_kv = k_ref.shape[1]
+    start = seg_ref[ki, 0]
+    i0 = seg_ref[ki, 1]
+    i1 = seg_ref[ki, 2]
+    end = seg_ref[ki, 3]
+
+    @pl.when(ki == 0)
+    def _init_dq():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def body(qb, carry, masked):
+        mask = _tile_mask_or_none(masked, pack, rule, qb, ki, block_q,
+                                  block_kv, q_len, k_len,
+                                  q_len_padded, k_len_padded)
+        row = pl.multiple_of(qb * block_q, block_q)
+        for mem in range(kv_group):
+            q_blk = q_ref[mem, pl.ds(row, block_q), :]
+            do_blk = do_ref[mem, pl.ds(row, block_q), :]
+            stats = stats_ref[mem, pl.ds(row, block_q), :]
+            lse2_row = stats[:, 0:1]
+            delta_row = stats[:, 1:2]
+            p = _recompute_p(q_blk, k_ref[0], lse2_row, mask, fast_softmax)
+
+            dv_acc[...] += jax.lax.dot_general(
+                p.astype(do_ref.dtype), do_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(do_ref.dtype),
+            )
+            dp = jax.lax.dot_general(
+                do_blk, v_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(v_ref.dtype),
+            )
+            ds = p * (dp - delta_row)
+            dk_acc[...] += jax.lax.dot_general(
+                ds.astype(q_ref.dtype), q_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q_ref.dtype),
+            )
+            dq_acc[mem, pl.ds(row, block_q), :] += jax.lax.dot_general(
+                ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(k_ref.dtype),
+            )
+        return carry
+
+    jax.lax.fori_loop(start, i0, functools.partial(body, masked=True), 0)
+    jax.lax.fori_loop(i0, i1, functools.partial(body, masked=False), 0)
+    jax.lax.fori_loop(i1, end, functools.partial(body, masked=True), 0)
+
+    dk_ref[0] = (dk_acc[...] * jnp.float32(INV_LOG2E)).astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _fin_dq():
+        dq_ref[...] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
+
+
 def _fused_qouter_kernel(
     table_ref, counts_ref, needs_ref,
     q_ref, k_ref, v_ref, do_ref, stats_ref,
@@ -655,6 +739,64 @@ def flash_backward(
                               * jnp.dtype(in_dtype).itemsize + 4 * STATS_LANES)
             <= 28 * 1024 * 1024
         )
+        # Banded fast path (round 5): when the transposed schedule is one
+        # contiguous band per kv row and q/dO/stats ride resident, the
+        # q-step grid axis becomes in-kernel fori_loops over the segment
+        # bounds — the backward twin of ops/forward_banded.py.
+        seg_t = sched_t.banded_segments() if resident else None
+        if seg_t is not None and _os.environ.get("FA_BANDED_BWD", "1") != "0":
+            bkernel = functools.partial(
+                _fused_banded_kernel, pack=pack, rule=rule, scale=scale,
+                q_len=q_len, k_len=k_len,
+                q_len_padded=q_padf, k_len_padded=k_padf,
+                num_kv_blocks=n_kv_blocks,
+                kv_group=g, block_q=block_qf,
+                fast_softmax=fast_softmax,
+            )
+            kv_idx = lambda b, ki, *p: (b, ki, 0)
+            qres_idx = lambda b, ki, *p: (b, 0, 0)
+            dk, dv, dq = pl.pallas_call(
+                bkernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(B_kv, n_kv_blocks),
+                    in_specs=[
+                        pl.BlockSpec((1, block_kvf, d_pad), kv_idx),
+                        pl.BlockSpec((1, block_kvf, v_d_pad), kv_idx),
+                        pl.BlockSpec((g, q_padf, d_pad), qres_idx),
+                        pl.BlockSpec((g, q_padf, v_d_pad), qres_idx),
+                        pl.BlockSpec((g, q_padf, STATS_LANES), qres_idx),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec((1, block_kvf, d_pad), kv_idx),
+                        pl.BlockSpec((1, block_kvf, v_d_pad), kv_idx),
+                        pl.BlockSpec((g, q_padf, d_pad), qres_idx),
+                    ],
+                    scratch_shapes=[
+                        pltpu.VMEM((block_kvf, d_pad), jnp.float32),
+                        pltpu.VMEM((block_kvf, v_d_pad), jnp.float32),
+                        pltpu.VMEM((g, q_padf, d_pad), jnp.float32),
+                    ],
+                ),
+                out_shape=[
+                    jax.ShapeDtypeStruct((B_kv, k_padf, d_pad), in_dtype),
+                    jax.ShapeDtypeStruct((B_kv, k_padf, v_d_pad), in_dtype),
+                    jax.ShapeDtypeStruct((B, q_padf, d_pad), in_dtype),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary"),
+                    vmem_limit_bytes=VMEM_LIMIT,
+                ),
+                interpret=interpret,
+            )(jnp.asarray(seg_t),
+              padded(k, k_padf, d_pad), padded(v, k_padf, v_d_pad),
+              padded(q, q_padf, d_pad, prescale=True),
+              padded(do, q_padf, v_d_pad), padded(stats, q_padf))
+            return (
+                dq[:, :q_len, :d],
+                dk[:, :k_len, :d],
+                dv[:, :k_len, :v_d],
+            )
         fkernel = functools.partial(
             _fused_kernel, pack=pack, rule=rule, scale=scale,
             q_len=q_len, k_len=k_len,

@@ -69,10 +69,17 @@ def _fwd_kernel(
     q_compute: int,
     sub_skip: bool,
     fast_softmax: bool,
+    delta_mask: bool = False,
 ):
     if sub_skip:
         (table_ref, counts_ref, needs_ref, sub_live_ref, sub_needs_ref,
          q_ref, k_ref, v_ref, o_ref, stats_ref,
+         acc_ref, m_scratch, l_scratch) = refs
+    elif delta_mask:
+        # delta-mask layout: slots prefetch + resident mask tiles
+        # (schedule.delta_mask_table)
+        (table_ref, counts_ref, needs_ref, slots_ref,
+         q_ref, k_ref, v_ref, masks_ref, o_ref, stats_ref,
          acc_ref, m_scratch, l_scratch) = refs
     else:
         (table_ref, counts_ref, needs_ref,
@@ -102,7 +109,14 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
             precision=dot_precision(q_ref.dtype),
         )
-        if masked:
+        if masked and delta_mask:
+            # precomputed deduped tile mask: compare + select only
+            # (delta_mask implies no compute sub-tiling, so the sub-tile
+            # IS the whole block)
+            kb = table_ref[qi, step]
+            mask = masks_ref[slots_ref[qi, kb]] != 0
+            s = jnp.where(mask, s, NEG_INF_F32)
+        elif masked:
             kb = table_ref[qi, step]
             q_pos = qi * block_q + jq * q_compute + jax.lax.broadcasted_iota(
                 jnp.int32, (q_compute, 1), 0)
@@ -307,6 +321,20 @@ def flash_forward(
                 and _os.environ.get("FA_SUBSKIP") == "1")
 
     import os
+
+    # Precomputed deduped tile masks (schedule.delta_mask_table): when the
+    # partial tiles' mask patterns repeat (translation-structured rules —
+    # causal diagonals, local bands, 2d windows), in-kernel mask
+    # construction (~9 VPU ops/element) collapses to a resident-mask
+    # select (2 ops/element).  FA_DELTA_MASK=0 opts out.
+    delta = None
+    if (not rule.is_full and bool(sched.partial.any()) and not sub_skip
+            and kv_compute == block_kv and q_compute == block_q
+            and os.environ.get("FA_DELTA_MASK", "1") != "0"):
+        from ..schedule import delta_mask_table
+        delta = delta_mask_table(pack, rule, block_q, block_kv,
+                                 q_len, k_len, q_pad, k_pad)
+
     if fast_softmax is None:
         # Auto policy: bf16 softmax for 16-bit inputs (error ~2^-7 max-rel
         # vs fp64, tests/test_fast_softmax.py — inside the reference half
@@ -343,7 +371,7 @@ def flash_forward(
                 q_len=q_len, k_len=k_len,
                 block_q=block_q, block_kv=block_kv,
                 fast_softmax=bool(fast_softmax), cost=cost,
-                interpret=interpret,
+                interpret=interpret, delta=delta,
             )
             return (
                 o[:, :q_len, :v_d],
@@ -366,6 +394,7 @@ def flash_forward(
         q_compute=q_compute,
         sub_skip=sub_skip,
         fast_softmax=bool(fast_softmax),
+        delta_mask=delta is not None,
     )
 
     grid = (B, sched.num_q_blocks, num_steps)
@@ -374,17 +403,24 @@ def flash_forward(
         jax.ShapeDtypeStruct((B, q_pad, STATS_LANES), jnp.float32),
     )
     # Index maps take the scalar-prefetch refs as trailing args; *p keeps
-    # them arity-agnostic across the 3- and 5-ref (sub-tile skip) layouts.
+    # them arity-agnostic across the 3-, 4- (delta-mask) and 5-ref
+    # (sub-tile skip) layouts.
     qi_map = lambda b, qi, s, *p: (b, qi, 0)
     kv_map = lambda b, qi, s, *p: (b // g, p[0][qi, s], 0)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d_pad), qi_map),
+        pl.BlockSpec((1, block_kv, d_pad), kv_map),
+        pl.BlockSpec((1, block_kv, v_d_pad), kv_map),
+    ]
+    if delta is not None:
+        in_specs.append(pl.BlockSpec(
+            (delta[1].shape[0], block_q, block_kv),
+            lambda b, qi, s, *p: (0, 0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5 if sub_skip else 3,
+        num_scalar_prefetch=(5 if sub_skip else
+                             4 if delta is not None else 3),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), qi_map),
-            pl.BlockSpec((1, block_kv, d_pad), kv_map),
-            pl.BlockSpec((1, block_kv, v_d_pad), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, block_q, v_d_pad), qi_map),
             pl.BlockSpec((1, block_q, STATS_LANES), qi_map),
@@ -416,8 +452,12 @@ def flash_forward(
 
     prefetch = [jnp.asarray(sched.kv_table), jnp.asarray(sched.kv_counts),
                 jnp.asarray(sched.needs_mask)]
+    inputs = [qp, kp, vp]
     if sub_skip:
         prefetch += [jnp.asarray(sched.sub_live), jnp.asarray(sched.sub_needs)]
+    elif delta is not None:
+        prefetch.append(jnp.asarray(delta[0]))
+        inputs.append(jnp.asarray(delta[1]))
     o, stats = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -428,7 +468,7 @@ def flash_forward(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(*prefetch, qp, kp, vp)
+    )(*prefetch, *inputs)
 
     return (
         o[:, :q_len, :v_d],

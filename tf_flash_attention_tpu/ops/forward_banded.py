@@ -58,11 +58,7 @@ def _stats_lanes() -> int:
 
 
 def _banded_kernel(
-    seg_ref,                      # scalar prefetch: (n_q, 4) int32
-    q_ref, k_ref, v_ref,          # q block; resident K/V rows
-    o_ref, stats_ref,             # outputs
-    acc_ref, m_scratch, l_scratch,
-    *,
+    *refs,
     pack: SyncPack,
     rule: MaskRule,
     q_len: int,
@@ -71,7 +67,17 @@ def _banded_kernel(
     k_len_padded: int,
     block_kv: int,
     fast_softmax: bool,
+    delta_mask: bool,
 ):
+    if delta_mask:
+        # precomputed deduped tile masks (schedule.delta_mask_table):
+        # slots_ref (n_q, n_k) int32 scalar prefetch, masks_ref
+        # (n_masks, block_q, block_kv) int8 resident in VMEM
+        (seg_ref, slots_ref, q_ref, k_ref, v_ref, masks_ref,
+         o_ref, stats_ref, acc_ref, m_scratch, l_scratch) = refs
+    else:
+        (seg_ref, q_ref, k_ref, v_ref,
+         o_ref, stats_ref, acc_ref, m_scratch, l_scratch) = refs
     qi = pl.program_id(1)
     block_q = q_ref.shape[1]
     start = seg_ref[qi, 0]
@@ -91,7 +97,12 @@ def _banded_kernel(
             preferred_element_type=jnp.float32,
             precision=dot_precision(q_ref.dtype),
         )
-        if masked:
+        if masked and delta_mask:
+            # 2 VPU ops (compare + select) replace the ~9-op arithmetic
+            # mask chain; bounds are baked into the precomputed tiles
+            mask = masks_ref[slots_ref[qi, j]] != 0
+            s = jnp.where(mask, s, NEG_INF_F32)
+        elif masked:
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, 1), 0)
             k_pos = col + jax.lax.broadcasted_iota(
@@ -161,12 +172,15 @@ def banded_forward(
     fast_softmax: bool,
     cost: Optional[pl.CostEstimate],
     interpret: bool = False,
+    delta=None,
 ):
     """Run the banded kernel on pre-padded/pre-scaled tensors.
 
     ``flash_forward`` owns padding, scaling, GQA setup and eligibility;
     this function owns only the pallas_call.  Returns ``(o, stats)`` in
-    padded layout.
+    padded layout.  ``delta`` is an optional ``(slots, masks)`` pair from
+    ``schedule.delta_mask_table``: precomputed deduped tile masks kept
+    resident in VMEM, replacing per-tile mask arithmetic.
     """
     B, q_pad, d_pad = qp.shape
     B_kv, k_pad, v_d_pad = vp.shape
@@ -178,17 +192,29 @@ def banded_forward(
         pack=pack, rule=rule, q_len=q_len, k_len=k_len,
         q_len_padded=q_pad, k_len_padded=k_pad,
         block_kv=block_kv, fast_softmax=fast_softmax,
+        delta_mask=delta is not None,
     )
-    qi_map = lambda b, qi, s: (b, qi, 0)
-    kv_map = lambda b, qi, s: (b // g, 0, 0)
+    qi_map = lambda b, qi, *p: (b, qi, 0)
+    kv_map = lambda b, qi, *p: (b // g, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d_pad), qi_map),
+        pl.BlockSpec((1, k_pad, d_pad), kv_map),
+        pl.BlockSpec((1, k_pad, v_d_pad), kv_map),
+    ]
+    inputs = [qp, kp, vp]
+    num_prefetch = 1
+    prefetch = [jnp.asarray(seg)]
+    if delta is not None:
+        slots, masks = delta
+        num_prefetch = 2
+        prefetch.append(jnp.asarray(slots))
+        in_specs.append(pl.BlockSpec(
+            (masks.shape[0], block_q, block_kv), lambda b, qi, *p: (0, 0, 0)))
+        inputs.append(jnp.asarray(masks))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=num_prefetch,
         grid=(B, n_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), qi_map),
-            pl.BlockSpec((1, k_pad, d_pad), kv_map),
-            pl.BlockSpec((1, k_pad, v_d_pad), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, block_q, v_d_pad), qi_map),
             pl.BlockSpec((1, block_q, STATS_LANES), qi_map),
@@ -215,4 +241,4 @@ def banded_forward(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(jnp.asarray(seg), qp, kp, vp)
+    )(*prefetch, *inputs)

@@ -57,7 +57,9 @@ def mha(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     if block_config is None:
-        block_config = choose_block_config(sq, skv, pad_to(d, LANE), pad_to(d, LANE), q.dtype)
+        block_config = choose_block_config(
+            sq, skv, pad_to(d, LANE), pad_to(d, LANE), q.dtype,
+            kv_group=hq // hkv)
     # GQA runs natively in the kernels: with heads minor in the flattened
     # batch, query row b·hq + h maps to KV row (b·hq + h) // (hq/hkv)
     # = b·hkv + h//(hq/hkv) via the kernel's BlockSpec index map — no

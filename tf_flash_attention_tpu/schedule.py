@@ -33,7 +33,8 @@ import numpy as np
 from .mask_rules import MaskRule
 from .sync_modes import SyncPack, SeqDescriptor, flatten_orders, order_coords
 
-__all__ = ["Schedule", "build_schedule", "sequence_orders", "tile_order_bounds"]
+__all__ = ["Schedule", "build_schedule", "delta_mask_table",
+           "sequence_orders", "tile_order_bounds"]
 
 
 def sequence_orders(pack_desc: SeqDescriptor, reference_shape) -> Tuple[np.ndarray, np.ndarray]:
@@ -217,6 +218,93 @@ def _pack_live(live: np.ndarray, partial: np.ndarray, fine=None) -> Schedule:
         sub_shape=(rq, rk),
         fine_live=fine_live, fine_partial=fine_partial,
     )
+
+
+@functools.lru_cache(maxsize=128)
+def delta_mask_table(pack: SyncPack, rule: MaskRule, block_q: int,
+                     block_kv: int, q_len: int, k_len: int,
+                     q_pad: int, k_pad: int, max_masks: int = 8,
+                     max_bytes: int = 4 << 20):
+    """Deduplicated per-tile boolean masks for the partial tiles of a
+    schedule, or ``None`` when the pattern doesn't repeat.
+
+    Round-5 kernel optimisation: in-kernel mask construction costs ~9
+    VPU int32 ops per scores element (coords + per-dim window checks +
+    causality), which for rules where every live tile is partial (2d
+    local windows) rivals the MXU time of the tile itself — measured as
+    the gap between the local_2d and causal_2d scheduled rates
+    (tools/exp_2d_sweep.py: 85 vs 118 TFLOP/s same tiles).  But masking
+    rules are translation-structured: the mask PATTERN of a tile at
+    block offsets ``(qi·bq, j·bk)`` depends only on the offset
+    difference whenever the block sizes are multiples of the inner
+    sequence width — e.g. the causal diagonal is ONE pattern, and the
+    2d local w=8 band at (1024, 1024) has exactly two.  This function
+    discovers that empirically (no invariance analysis): it evaluates
+    every live partial tile's mask at trace time with the same
+    primitives as the in-kernel ``build_tile_mask`` (rule predicate on
+    order coordinates + sequence-padding bounds), dedupes tiles by
+    content, and returns
+
+      ``(slots, masks)`` — ``slots: (n_q, n_k) int32`` mapping each
+      partial tile to its mask id (-1 elsewhere), ``masks: (n, bq, bk)
+      int8`` the distinct patterns —
+
+    for the kernels to keep resident in VMEM and select per tile (2 VPU
+    ops per element instead of ~9).  Returns ``None`` when more than
+    ``max_masks`` distinct patterns appear (non-repeating structure,
+    e.g. shifted sync descriptors) or the mask bytes exceed
+    ``max_bytes``.
+    """
+    sched = build_schedule(pack, rule, block_q, block_kv)
+    if not sched.partial.any():
+        return None
+    if max_masks * block_q * block_kv > max_bytes:
+        max_masks = max(1, max_bytes // (block_q * block_kv))
+    q_coords, q_flat = sequence_orders(pack.q, pack.reference_shape)
+    k_coords, k_flat = sequence_orders(pack.k, pack.reference_shape)
+
+    def pad_tail(arr, length):
+        # values past the sequence are gated off by the bounds term below;
+        # repeating the final entry just keeps the rule arithmetic in range
+        if arr.shape[-1] >= length:
+            return arr
+        reps = length - arr.shape[-1]
+        return np.concatenate([arr, np.repeat(arr[..., -1:], reps, -1)], -1)
+
+    q_coords = pad_tail(q_coords, q_pad)
+    k_coords = pad_tail(k_coords, k_pad)
+    q_flat = pad_tail(q_flat, q_pad)
+    k_flat = pad_tail(k_flat, k_pad)
+
+    n_q, n_k = sched.live.shape
+    slots = np.full((n_q, n_k), -1, np.int32)
+    masks = []
+    index = {}
+    partial = sched.live & sched.partial
+    for qi, kb in zip(*np.nonzero(partial)):
+        qs = slice(qi * block_q, (qi + 1) * block_q)
+        ks = slice(kb * block_kv, (kb + 1) * block_kv)
+        m = rule.check(
+            pack,
+            [c[qs][:, None] for c in q_coords],
+            [c[ks][None, :] for c in k_coords],
+            q_flat[qs][:, None],
+            k_flat[ks][None, :],
+        )
+        m = np.broadcast_to(np.asarray(m, bool), (block_q, block_kv)).copy()
+        if q_pad > q_len:
+            m[max(0, q_len - qi * block_q):, :] = False
+        if k_pad > k_len:
+            m[:, max(0, k_len - kb * block_kv):] = False
+        key = m.tobytes()
+        slot = index.get(key)
+        if slot is None:
+            if len(masks) >= max_masks:
+                return None
+            slot = index[key] = len(masks)
+            masks.append(m)
+        slots[qi, kb] = slot
+    return slots, np.stack(masks).astype(np.int8)
 
 
 def _tile_classes_python(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int):

@@ -175,6 +175,33 @@ def _waste_aware_blocks(pack, rule, q_len, k_len, q_cap, k_cap,
     return best
 
 
+def _window_blocks(pack, rule, q_len, k_len, q_cap, bk):
+    """Grid block_q for the single-window kernel, or ``None``.
+
+    ``flash_forward`` routes narrow-band rules to the single-window
+    kernel whenever ``schedule.window_band_table`` is eligible at some
+    sub-block size; the scheduled band area is set by the SUB-block
+    choice (made at trace time in the routing), while the GRID block
+    only amortises per-step overhead and interleaves independent
+    sub-chains — so when any sub size is eligible the solver simply
+    keeps the grid block large (the routing halves it if the unrolled
+    scores tiles would exceed VMEM).
+    """
+    from .schedule import window_band_table
+
+    k_pad = pad_to(k_len, bk)
+    for sq in (512, 256, 128):
+        if sq > q_cap:
+            continue
+        # grid 512 measured ~= grid 1024 on the 2d w=8 case (85.8 vs
+        # 84.8 TFLOP/s-128) with half the unrolled-scores VMEM.
+        grid_bq = min(512, q_cap)
+        if window_band_table(pack, rule, sq, q_len, k_len,
+                             pad_to(q_len, grid_bq), k_pad) is not None:
+            return grid_bq
+    return None
+
+
 def choose_block_config(
     q_len: int,
     k_len: int,
@@ -235,6 +262,15 @@ def choose_block_config(
             # with narrow-band configs (their 512-class defaults already
             # bound the waste at 1.6x for the bench 2d case)
             fq, fk = waste
+    if (pack is not None and rule is not None
+            and os.environ.get("FA_WINDOW", "1") != "0"):
+        # Single-window kernel (round 5): when the rule's live set is a
+        # narrow contiguous band, flash_forward routes to the
+        # dynamic-start window kernel, whose best block_q is set by band
+        # area, not the streaming frontier (see _window_blocks).
+        wq = _window_blocks(pack, rule, q_len, k_len, q_cap, fk)
+        if wq is not None:
+            fq = wq
     return BlockConfig(
         block_q=fq, block_kv=fk,
         block_q_dq=dq_q, block_kv_dq=dq_k,

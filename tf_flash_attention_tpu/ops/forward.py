@@ -343,18 +343,76 @@ def flash_forward(
         fast_softmax = (jnp.dtype(in_dtype).itemsize == 2
                         and os.environ.get("FA_FAST_SOFTMAX", "1") != "0")
 
+    # Single-window fast path (ops/forward_banded.py window_forward,
+    # round 5): for narrow-band rules (2d/1d local windows) whose live kv
+    # set per q block is one contiguous 128-granular band, the whole band
+    # runs as ONE dynamic-start matmul pair — no online-merge chain, no
+    # block_kv-granularity scheduling waste (the measured 3x cost of the
+    # 2d local cases, VERDICT r4 item 3).  window_band_table prices the
+    # fixed window against the 128x128 fine schedule and refuses wide-
+    # variance bands (1d causal), which keep the banded/table kernels.
+    from .forward_banded import (
+        RESIDENT_KV_BUDGET, banded_forward, window_forward)
+    resident_ok = (
+        k_pad * (d_pad + v_d_pad) * jnp.dtype(in_dtype).itemsize
+        <= RESIDENT_KV_BUDGET
+    )
+    if (not sub_skip and resident_ok
+            and os.environ.get("FA_WINDOW", "1") != "0"):
+        from ..schedule import window_band_table
+        # Sub-block choice: smaller sub_q sees a narrower band (less
+        # scheduled area), the grid block amortises per-step overhead
+        # and interleaves independent sub-chains.  Take the largest
+        # sub_q within 30% of the minimum area — measured on chip
+        # (tools/exp_window_sweep.py round 5): sub 256 beats sub 128 on
+        # the 2d w=8 case (85.8 vs 74.1 TFLOP/s-128) despite 20% more
+        # scheduled area, because wider sub-tiles keep the MXU busy;
+        # sub 512's 2x area is a loss.
+        cands = []
+        for sq in (512, 256, 128):
+            if sq > block_q or block_q % sq:
+                continue
+            wt_c = window_band_table(pack, rule, sq, q_len, k_len,
+                                     q_pad, k_pad)
+            if wt_c is not None:
+                cands.append((sq, wt_c, q_pad * wt_c[1]))
+        wt = None
+        if cands:
+            amin = min(a for _, _, a in cands)
+            sub_q, wt, _ = next(c for c in cands if c[2] <= 1.30 * amin)
+        if wt is not None:
+            starts, W, slots, masks = wt
+            grid_bq = block_q
+            while grid_bq > sub_q and grid_bq * W * 4 > 8 << 20:
+                grid_bq //= 2  # unrolled scores tiles must fit VMEM
+            cost = pl.CostEstimate(
+                flops=2 * q_pad * W * (d_pad + v_d_pad) * B,
+                bytes_accessed=int(qp.nbytes + kp.nbytes + vp.nbytes
+                                   + B * q_pad * v_d_pad * qp.dtype.itemsize),
+                transcendentals=q_pad * W * B,
+            )
+            o, stats = window_forward(
+                qp, kp, vp, starts, W, slots, masks,
+                block_q=grid_bq, sub_q=sub_q,
+                fast_softmax=bool(fast_softmax),
+                cost=cost, interpret=interpret,
+            )
+            return (
+                o[:, :q_len, :v_d],
+                stats[:, :q_len, 0],
+                stats[:, :q_len, 1],
+            )
+
     # Banded resident-KV fast path (ops/forward_banded.py): engaged when
     # every schedule row is one contiguous band with one interior run and
     # the K/V rows fit the resident VMEM budget.  Measured faster than the
     # table-driven grid kernel (fewer K/V DMAs, no per-tile grid
     # bookkeeping); the table kernel remains the spec and covers
     # strided-local schedules and very long sequences.
-    from .forward_banded import RESIDENT_KV_BUDGET, banded_forward
     use_banded = (
         not sub_skip
         and os.environ.get("FA_BANDED", "1") != "0"
-        and k_pad * (d_pad + v_d_pad) * jnp.dtype(in_dtype).itemsize
-        <= RESIDENT_KV_BUDGET
+        and resident_ok
     )
     if use_banded:
         seg = sched.banded_segments()

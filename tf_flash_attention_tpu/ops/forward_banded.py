@@ -43,7 +43,7 @@ from .kernel_common import (
     INV_LOG2E, NEG_INF_F32, build_tile_mask, dot_precision,
 )
 
-__all__ = ["banded_forward", "RESIDENT_KV_BUDGET"]
+__all__ = ["banded_forward", "window_forward", "RESIDENT_KV_BUDGET"]
 
 #: K+V resident-window budget (bytes).  Leaves the rest of VMEM for the
 #: q/o streams, score tiles and accumulators under VMEM_LIMIT.
@@ -155,6 +155,148 @@ def _banded_kernel(
          jnp.zeros((acc_ref.shape[0], STATS_LANES - 2), jnp.float32)],
         axis=1,
     )
+
+
+def _window_kernel(
+    *refs,
+    W: int,
+    sub_q: int,
+    fast_softmax: bool,
+    masked: bool,
+):
+    """Single-window softmax: one Q.K^T / P.V pair per q sub-block.
+
+    No online merge at all — each sub-block's live kv set is one
+    contiguous ``W``-wide window at a per-sub-block dynamic start
+    (``schedule.window_band_table``), so the softmax is computed closed
+    form over the whole band.  This removes both costs that capped the
+    narrow-band (2d local) cases: the per-kv-step merge chain and the
+    block_kv-granularity scheduling waste (docs/TUNING.md round 5).
+
+    The grid q block carries ``rq = block_q // sub_q`` INDEPENDENT
+    sub-block chains, unrolled: small sub-blocks keep the band (and so
+    the scheduled area) narrow, while the larger grid step amortises
+    per-step overhead and lets Mosaic overlap one sub-block's MXU
+    matmuls with another's VPU softmax — measured 2x over one-window-
+    per-grid-step at equal band area (tools/exp_window_sweep.py).
+    """
+    if masked:
+        (start_ref, slot_ref, q_ref, k_ref, v_ref, masks_ref,
+         o_ref, stats_ref) = refs
+    else:
+        (start_ref, q_ref, k_ref, v_ref, o_ref, stats_ref) = refs
+    qi = pl.program_id(1)
+    block_q = q_ref.shape[1]
+    rq = block_q // sub_q
+    for j in range(rq):
+        sub = qi * rq + j
+        col = pl.multiple_of(start_ref[sub], LANE)
+        s = jax.lax.dot_general(
+            q_ref[0, j * sub_q:(j + 1) * sub_q, :],
+            k_ref[0, pl.ds(col, W), :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(q_ref.dtype),
+        )
+        if masked:
+            mask = masks_ref[slot_ref[sub]] != 0
+            s = jnp.where(mask, s, NEG_INF_F32)
+        m_col = jnp.max(s, axis=1, keepdims=True)
+        dead = m_col <= NEG_INF_F32
+        m_safe = jnp.where(dead, 0.0, m_col)
+        if fast_softmax:
+            p = jnp.exp2((s - m_safe).astype(jnp.bfloat16))
+            l_col = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+        else:
+            p = jnp.exp2(s - m_safe)
+            l_col = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, pl.ds(col, W), :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=dot_precision(v_ref.dtype),
+        )
+        l_col = jnp.where(dead, 0.0, l_col)
+        l_safe = jnp.where(l_col == 0.0, 1.0, l_col)
+        o = pv / l_safe
+        o = jnp.where(dead, 0.0, o)
+        o_ref[0, j * sub_q:(j + 1) * sub_q, :] = o.astype(o_ref.dtype)
+        m_pub = jnp.where(dead, NEG_INF_F32, m_safe * jnp.float32(INV_LOG2E))
+        stats_ref[0, j * sub_q:(j + 1) * sub_q, :] = jnp.concatenate(
+            [l_col, m_pub,
+             jnp.zeros((sub_q, STATS_LANES - 2), jnp.float32)],
+            axis=1,
+        )
+
+
+def window_forward(
+    qp: jax.Array,       # (B, q_pad, d_pad) pre-scaled, padded
+    kp: jax.Array,       # (B_kv, k_pad, d_pad) padded
+    vp: jax.Array,       # (B_kv, k_pad, v_d_pad) padded
+    starts: np.ndarray,  # (n_sub,) int32 lane-aligned band starts
+    W: int,              # static window width (lane multiple)
+    slots,               # (n_sub,) int32 mask slots, or None (no masking)
+    masks,               # (n_masks, sub_q, W) int8, or None
+    *,
+    block_q: int,
+    sub_q: int,
+    fast_softmax: bool,
+    cost: Optional[pl.CostEstimate],
+    interpret: bool = False,
+):
+    """Run the single-window kernel on pre-padded/pre-scaled tensors.
+
+    ``flash_forward`` owns padding, scaling, GQA and eligibility
+    (``schedule.window_band_table``); this owns only the pallas_call.
+    Returns ``(o, stats)`` in padded layout.
+    """
+    B, q_pad, d_pad = qp.shape
+    B_kv, k_pad, v_d_pad = vp.shape
+    g = B // B_kv
+    n_q = q_pad // block_q
+    masked = masks is not None
+
+    kernel = functools.partial(
+        _window_kernel, W=W, sub_q=sub_q, fast_softmax=fast_softmax,
+        masked=masked)
+    qi_map = lambda b, qi, *p: (b, qi, 0)
+    kv_map = lambda b, qi, *p: (b // g, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d_pad), qi_map),
+        pl.BlockSpec((1, k_pad, d_pad), kv_map),
+        pl.BlockSpec((1, k_pad, v_d_pad), kv_map),
+    ]
+    inputs = [qp, kp, vp]
+    prefetch = [jnp.asarray(starts)]
+    num_prefetch = 1
+    if masked:
+        num_prefetch = 2
+        prefetch.append(jnp.asarray(slots))
+        in_specs.append(pl.BlockSpec(
+            (masks.shape[0], sub_q, W), lambda b, qi, *p: (0, 0, 0)))
+        inputs.append(jnp.asarray(masks))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=num_prefetch,
+        grid=(B, n_q),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_q, v_d_pad), qi_map),
+            pl.BlockSpec((1, block_q, STATS_LANES), qi_map),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, q_pad, v_d_pad), qp.dtype),
+            jax.ShapeDtypeStruct((B, q_pad, STATS_LANES), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*prefetch, *inputs)
 
 
 def banded_forward(

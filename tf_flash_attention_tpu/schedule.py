@@ -34,7 +34,7 @@ from .mask_rules import MaskRule
 from .sync_modes import SyncPack, SeqDescriptor, flatten_orders, order_coords
 
 __all__ = ["Schedule", "build_schedule", "delta_mask_table",
-           "sequence_orders", "tile_order_bounds"]
+           "window_band_table", "sequence_orders", "tile_order_bounds"]
 
 
 def sequence_orders(pack_desc: SeqDescriptor, reference_shape) -> Tuple[np.ndarray, np.ndarray]:
@@ -305,6 +305,150 @@ def delta_mask_table(pack: SyncPack, rule: MaskRule, block_q: int,
             masks.append(m)
         slots[qi, kb] = slot
     return slots, np.stack(masks).astype(np.int8)
+
+
+@functools.lru_cache(maxsize=128)
+def window_band_table(pack: SyncPack, rule: MaskRule, block_q: int,
+                      q_len: int, k_len: int, q_pad: int, k_pad: int,
+                      lane: int = 128, max_waste: float = 1.35,
+                      scores_budget: int = 8 << 20,
+                      max_masks: int = 8, mask_bytes: int = 4 << 20):
+    """Single-window schedule for narrow-band rules, or ``None``.
+
+    Round-5 kernel optimisation (VERDICT r4 item 3 — the 2d/narrow-band
+    tile-granularity waste).  For rules whose live kv set per q block is
+    one contiguous band at *lane* (128-column) granularity — 2d local
+    windows, 1d local windows, full — the whole band fits a SINGLE
+    dynamic-start fixed-width kv window: the kernel then runs ONE
+    Q·K^T/P·V matmul pair per q block over exactly the live 128-column
+    groups and the online-merge chain (the per-kv-step cost that made
+    small ``block_kv`` tiles lose, docs/TUNING.md round 4) disappears
+    entirely.  This is the dense-packing remedy for the measured 3x
+    narrow-band scheduling waste: waste is priced here against the
+    128x128 fine schedule (the config-independent pricing granularity),
+    and the table refuses (returns ``None``) when the fixed window would
+    re-introduce more than ``max_waste`` of it (e.g. 1d causal, whose
+    band width varies 0..k_len — the banded fori-loop kernel keeps that
+    case).
+
+    Returns ``(starts, W, slots, masks)``:
+
+    * ``starts: (n_q,) int32`` — per-q-block first live kv column,
+      lane-aligned and clamped to ``k_pad - W``;
+    * ``W: int`` — static window width (lane multiple, max band width);
+    * ``slots: (n_q,) int32`` + ``masks: (n, block_q, W) int8`` — the
+      per-block deduplicated window masks (delta-mask style; bounds
+      folded in), or ``(None, None)`` when every element of every
+      window is live (full rule, no padding: no masking needed).
+
+    Falls back to ``None`` (table/banded kernels) when the band has
+    holes at lane granularity, the waste bound fails, the f32 scores
+    tile ``block_q x W`` exceeds ``scores_budget``, or the mask patterns
+    don't dedupe within ``max_masks``/``mask_bytes`` (mask selection is
+    the whole point — an arithmetic mask over the full window would pay
+    the ~9 VPU ops/element the delta masks exist to remove).
+    """
+    if rule.is_full:
+        # Measured negative (tools/exp_window_sweep.py round 5: 128 vs
+        # 135 TFLOP/s-128 at S=4096): full rules have no band waste to
+        # save, and the banded kernel's kv loop pipelines better than
+        # one full-width window.
+        return None
+    sched = build_schedule(pack, rule, block_q, lane)
+    live = sched.live  # (ceil(q_len / block_q), k_pad // lane)
+    # The caller's q padding may be coarser than block_q (sub-block
+    # tables under a larger grid block): emit one row per PADDED block,
+    # with trailing/empty rows dead (all-False mask -> dead-row repair).
+    n_q = q_pad // block_q
+    starts_b = np.zeros(n_q, np.int32)
+    width_max = 0
+    live_cols = 0
+    live_rows = 0
+    for r in range(min(n_q, live.shape[0])):
+        idx = np.flatnonzero(live[r])
+        if idx.size == 0:
+            continue
+        lo, hi = int(idx[0]), int(idx[-1]) + 1
+        if idx.size != hi - lo:
+            return None  # hole in the fine band (e.g. wide-strided rules)
+        starts_b[r] = lo
+        width_max = max(width_max, hi - lo)
+        live_cols += idx.size
+        live_rows += 1
+    if width_max == 0:
+        return None
+    # Waste against the 128x128 pricing granularity: the window is
+    # per-q-BLOCK, the pricing per-q-128-row, so large block_q widens W
+    # past what the fine schedule prices (the solver prefers small
+    # block_q here for exactly that reason).
+    fine = build_schedule(pack, rule, lane, lane) if block_q != lane else sched
+    priced_area = int(fine.live.sum()) * lane * lane
+    sched_area = live_rows * block_q * width_max * lane
+    if priced_area == 0 or sched_area > max_waste * priced_area:
+        return None
+    if block_q * width_max * lane * 4 > scores_budget:
+        return None
+    W = width_max * lane
+    starts_b = np.minimum(starts_b, k_pad // lane - width_max)
+    starts = (starts_b * lane).astype(np.int32)
+
+    # Per-block window masks, deduped (delta_mask_table's scheme over
+    # lane-granular bands instead of block_kv tiles).
+    q_coords, q_flat = sequence_orders(pack.q, pack.reference_shape)
+    k_coords, k_flat = sequence_orders(pack.k, pack.reference_shape)
+
+    def pad_tail(arr, length):
+        if arr.shape[-1] >= length:
+            return arr
+        reps = length - arr.shape[-1]
+        return np.concatenate([arr, np.repeat(arr[..., -1:], reps, -1)], -1)
+
+    q_coords = [pad_tail(c, q_pad) for c in q_coords]
+    k_coords = [pad_tail(c, k_pad) for c in k_coords]
+    q_flat = pad_tail(q_flat, q_pad)
+    k_flat = pad_tail(k_flat, k_pad)
+
+    slots = np.zeros(n_q, np.int32)
+    masks = []
+    index = {}
+    any_masked = False
+    for r in range(n_q):
+        dead = (r >= live.shape[0]
+                or not live[r].any())
+        qs = slice(r * block_q, (r + 1) * block_q)
+        ks = slice(int(starts[r]), int(starts[r]) + W)
+        if dead:
+            m = np.zeros((block_q, W), bool)
+        elif rule.is_full:
+            m = np.ones((block_q, W), bool)
+        else:
+            m = rule.check(
+                pack,
+                [c[qs][:, None] for c in q_coords],
+                [c[ks][None, :] for c in k_coords],
+                q_flat[qs][:, None],
+                k_flat[ks][None, :],
+            )
+            m = np.broadcast_to(np.asarray(m, bool), (block_q, W)).copy()
+        if not dead and q_pad > q_len:
+            m[max(0, q_len - r * block_q):, :] = False
+        if not dead and k_pad > k_len:
+            kept = max(0, k_len - int(starts[r]))
+            m[:, kept:] = False
+        if not m.all():
+            any_masked = True
+        key = m.tobytes()
+        slot = index.get(key)
+        if slot is None:
+            if len(masks) >= max_masks or \
+                    (len(masks) + 1) * block_q * W > mask_bytes:
+                return None
+            slot = index[key] = len(masks)
+            masks.append(m)
+        slots[r] = slot
+    if not any_masked:
+        return starts, W, None, None
+    return starts, W, slots, np.stack(masks).astype(np.int8)
 
 
 def _tile_classes_python(pack: SyncPack, rule: MaskRule, block_q: int, block_kv: int):

@@ -318,6 +318,15 @@ def main():
     suites.append(run_suite(w))
     fast_suite = w["fast"]
 
+    def maybe_fast_suite(w):
+        """Grab the suite the moment any block's probe sees a fast
+        window (the bimodal flips are minutes-scale; waiting for the
+        post-block hunt can miss one that opens mid-run)."""
+        nonlocal fast_suite
+        if w["fast"] and not fast_suite:
+            suites.append(run_suite(w))
+            fast_suite = True
+
     result_extra = {}
     if not _skip("twod") and time.time() - t0 < budget_s:
         twod = []
@@ -338,6 +347,7 @@ def main():
             try:
                 tmr = ChainTimer(fn2, (qq, kk, vv), n=60)
                 wtag = probe(f"twod-{nm.split()[0]}")
+                maybe_fast_suite(wtag)
                 med = statistics.median(tmr.sample(6))
                 twod.append({"case": nm,
                              "ms_median": round(med * 1e3, 4),
@@ -353,6 +363,7 @@ def main():
     if not _skip("decode") and time.time() - t0 < budget_s:
         try:
             wtag = probe("decode")
+            maybe_fast_suite(wtag)
             result_extra["decode"] = bench_decode(emit=False)
             result_extra["decode"]["mxu_ref_tflops"] = wtag["mxu_ref_tflops"]
         except Exception as e:  # pragma: no cover

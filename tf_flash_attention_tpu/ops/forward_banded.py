@@ -57,6 +57,11 @@ def _stats_lanes() -> int:
     return 8 if os.environ.get("FA_NARROW_STATS") else 128
 
 
+def _bf16_scores() -> bool:
+    import os
+    return os.environ.get("FA_WINDOW_BF16S") == "1"
+
+
 def _banded_kernel(
     *refs,
     pack: SyncPack,
@@ -198,18 +203,37 @@ def _window_kernel(
             preferred_element_type=jnp.float32,
             precision=dot_precision(q_ref.dtype),
         )
-        if masked:
-            mask = masks_ref[slot_ref[sub]] != 0
-            s = jnp.where(mask, s, NEG_INF_F32)
-        m_col = jnp.max(s, axis=1, keepdims=True)
-        dead = m_col <= NEG_INF_F32
-        m_safe = jnp.where(dead, 0.0, m_col)
-        if fast_softmax:
-            p = jnp.exp2((s - m_safe).astype(jnp.bfloat16))
+        if fast_softmax and _bf16_scores():
+            # experimental (FA_WINDOW_BF16S=1): run the whole mask/max/
+            # subtract chain at bf16 VPU rate (2x lanes vs f32); the
+            # rounding (~2^-8 relative on s and the published m) sits
+            # inside the half-dtype tolerance model the bf16 exp2 chain
+            # already uses.  Only reachable for 16-bit inputs.
+            s = s.astype(jnp.bfloat16)
+            if masked:
+                mask = masks_ref[slot_ref[sub]] != 0
+                s = jnp.where(mask, s, jnp.bfloat16(NEG_INF_F32))
+            m16 = jnp.max(s, axis=1, keepdims=True)
+            m_col = m16.astype(jnp.float32)
+            # 0.5x margin: bf16 rounding of the finite -inf sentinel can
+            # land on either side of the exact f32 constant
+            dead = m_col <= 0.5 * NEG_INF_F32
+            p = jnp.exp2(s - jnp.where(dead, jnp.bfloat16(0), m16))
             l_col = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+            m_safe = jnp.where(dead, 0.0, m_col)
         else:
-            p = jnp.exp2(s - m_safe)
-            l_col = jnp.sum(p, axis=1, keepdims=True)
+            if masked:
+                mask = masks_ref[slot_ref[sub]] != 0
+                s = jnp.where(mask, s, NEG_INF_F32)
+            m_col = jnp.max(s, axis=1, keepdims=True)
+            dead = m_col <= NEG_INF_F32
+            m_safe = jnp.where(dead, 0.0, m_col)
+            if fast_softmax:
+                p = jnp.exp2((s - m_safe).astype(jnp.bfloat16))
+                l_col = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+            else:
+                p = jnp.exp2(s - m_safe)
+                l_col = jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, pl.ds(col, W), :],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,

@@ -237,19 +237,28 @@ def main():
     S32, B32 = 32768, 1
     long_shapes = []
     if not _skip("long_seq"):
-        long_shapes = [(S16, B16), (S32, B32)]
-    for (S2, B2) in long_shapes:
+        # S=32k runs both frontier configs: (1024, 1024) (the round-4
+        # pick) and (1024, 2048) (wins the round-5 ChainTimer re-rank,
+        # tools/exp_longseq_r5.py: 147.3 vs 138.2 T128 degraded-state);
+        # the headline takes the best row per window either way.
+        long_shapes = [(S16, B16, cfg_1k),
+                       (S32, B32, cfg_1k),
+                       (S32, B32, BlockConfig(1024, 2048, 1024, 1024,
+                                              1024, 1024))]
+    for (S2, B2, cfg2) in long_shapes:
         q2, k2, v2 = t((B2, S2, D)), t((B2, S2, D)), t((B2, S2, D))
         pack2 = make_sync_pack("none_front", (S2,), (S2,))
-        fn2 = lambda q, k, v, p2=pack2: flash_forward(
-            q, k, v, pack=p2, rule=rule, config=cfg_1k)[0]
-        suite_timers[f"fwd_S{S2}_B{B2}"] = {
+        fn2 = lambda q, k, v, p2=pack2, c2=cfg2: flash_forward(
+            q, k, v, pack=p2, rule=rule, config=c2)[0]
+        suite_timers[f"fwd_S{S2}_B{B2}_k{cfg2.block_kv}"] = {
             "timer": ChainTimer(fn2, (q2, k2, v2), n=48),
             "flops_128": matmul_flops_forward(
                 rule, "none_front", (S2,), (S2,), D, D, B2),
             "flops_sched": matmul_flops_forward(
-                rule, "none_front", (S2,), (S2,), D, D, B2, 1024, 1024),
+                rule, "none_front", (S2,), (S2,), D, D, B2,
+                cfg2.block_q, cfg2.block_kv),
             "shape": [S2, B2],
+            "config": [cfg2.block_q, cfg2.block_kv],
         }
         probe(f"post-compile-S{S2}")
 
@@ -284,13 +293,15 @@ def main():
                 samples = [s for s in raw if s >= 0.95 * floor_s] or raw
                 med = statistics.median(samples)
                 row = {"shape": st["shape"],
+                       "config": st.get("config", [1024, 1024]),
                        "ms_median": round(med * 1e3, 4),
                        "ms_min": round(min(samples) * 1e3, 4),
                        "tflops_128": round(st["flops_128"] / med / 1e12, 1),
                        "tflops_sched": round(st["flops_sched"] / med / 1e12, 1),
                        "samples_dropped_implausible": len(raw) - len(samples)}
                 fwd_rows.append(row)
-                log(f"  suite fwd S={st['shape'][0]} B={st['shape'][1]}: "
+                log(f"  suite fwd S={st['shape'][0]} B={st['shape'][1]} "
+                    f"blocks {row['config']}: "
                     f"median {row['ms_median']} ms = {row['tflops_128']} "
                     f"TFLOP/s 128-priced")
             else:
@@ -392,6 +403,7 @@ def main():
         w_ = next(x for x in windows if x["tag"] == su["window"])
         for row in su["fwd"]:
             cands.append({"shape": row["shape"],
+                          "config": row.get("config", [1024, 1024]),
                           "tflops_128": row["tflops_128"],
                           "ms_median": row["ms_median"], "fast": w_["fast"],
                           "mxu_ref_tflops": su["mxu_ref_tflops"]})
@@ -411,14 +423,16 @@ def main():
         "value": best["tflops_128"],
         "unit": "TFLOP/s",
         "vs_baseline": round(best["tflops_128"] / TARGET, 3),
-        "pricing": "config-independent 128x128 live-tile pricing at blocks "
-                   "(1024,1024); median of jitter-dominating paired-diff "
+        "pricing": "config-independent 128x128 live-tile pricing "
+                   "(headline_blocks = the winning config's run blocks); "
+                   "median of jitter-dominating paired-diff "
                    "samples (profiling.ChainTimer); samples below the "
                    "window's mxu_ref physical floor dropped; headline from "
                    "the best FAST window (S=4096 median <= "
                    f"{FAST_MS} ms) — see chip_state and windows[]",
         "chip_state": chip_state,
         "headline_window_mxu_ref": best["mxu_ref_tflops"],
+        "headline_blocks": best.get("config", [1024, 1024]),
         "fwd_ms_median": best["ms_median"],
         "windows": windows,
         "suites": suites,

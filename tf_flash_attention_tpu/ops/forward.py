@@ -424,6 +424,27 @@ def flash_forward(
                                    + B * q_pad * v_d_pad * qp.dtype.itemsize),
                 transcendentals=block_q * block_kv * n_live * B,
             )
+            # Experimental (FA_RESIDENT=1): fully-resident rows — grid
+            # over batch only, one contiguous DMA per operand per row
+            # (the shape that dodges the degraded-state DMA penalty).
+            item = jnp.dtype(in_dtype).itemsize
+            resident_bytes = ((q_pad + k_pad) * (d_pad + v_d_pad) * item
+                              + block_q * block_kv * 4)
+            if (os.environ.get("FA_RESIDENT") == "1"
+                    and resident_bytes <= 48 << 20):
+                from .forward_banded import resident_forward
+                o, stats = resident_forward(
+                    qp, kp, vp, seg, pack=pack, rule=rule,
+                    q_len=q_len, k_len=k_len,
+                    block_q=block_q, block_kv=block_kv,
+                    fast_softmax=bool(fast_softmax), cost=cost,
+                    interpret=interpret, delta=delta,
+                )
+                return (
+                    o[:, :q_len, :v_d],
+                    stats[:, :q_len, 0],
+                    stats[:, :q_len, 1],
+                )
             o, stats = banded_forward(
                 qp, kp, vp, seg, pack=pack, rule=rule,
                 q_len=q_len, k_len=k_len,

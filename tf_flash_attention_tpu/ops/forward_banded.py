@@ -323,6 +323,196 @@ def window_forward(
     )(*prefetch, *inputs)
 
 
+def _resident_kernel(
+    *refs,
+    pack: SyncPack,
+    rule: MaskRule,
+    q_len: int,
+    k_len: int,
+    q_len_padded: int,
+    k_len_padded: int,
+    block_q: int,
+    block_kv: int,
+    fast_softmax: bool,
+    delta_mask: bool,
+):
+    """Fully-resident forward: whole Q/K/V/O batch rows in VMEM.
+
+    The grid is (B,) only; an in-kernel ``fori_loop`` walks the q
+    blocks, each running the banded [start, end) kv segment walk of
+    ``_banded_kernel``.  All HBM traffic is one contiguous DMA per
+    operand per batch row — the shape the degraded chip state does not
+    penalise (measured on the banded fused backward: ~233 TFLOP/s
+    scheduled in windows where HBM-streaming kernels lose 30%,
+    docs/TUNING.md round 5).
+    """
+    if delta_mask:
+        (seg_ref, slots_ref, q_ref, k_ref, v_ref, masks_ref,
+         o_ref, stats_ref, acc_ref, m_scratch, l_scratch) = refs
+    else:
+        (seg_ref, q_ref, k_ref, v_ref,
+         o_ref, stats_ref, acc_ref, m_scratch, l_scratch) = refs
+    n_q = q_len_padded // block_q
+
+    def qblock(qi, carry):
+        row = pl.multiple_of(qi * block_q, block_q)
+        q_blk = q_ref[0, pl.ds(row, block_q), :]
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF_F32)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(j, carry, masked):
+            col = pl.multiple_of(j * block_kv, block_kv)
+            s = jax.lax.dot_general(
+                q_blk, k_ref[0, pl.ds(col, block_kv), :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q_ref.dtype),
+            )
+            if masked and delta_mask:
+                mask = masks_ref[slots_ref[qi, j]] != 0
+                s = jnp.where(mask, s, NEG_INF_F32)
+            elif masked:
+                q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, 1), 0)
+                k_pos = col + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, block_kv), 1)
+                mask = build_tile_mask(
+                    pack, rule, q_pos, k_pos, q_len, k_len,
+                    q_len_padded, k_len_padded,
+                )
+                if mask is not None:
+                    s = jnp.where(mask, s, NEG_INF_F32)
+            m_prev = m_scratch[:, :1]
+            l_prev = l_scratch[:, :1]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            if fast_softmax:
+                p = jnp.exp2((s - m_next).astype(jnp.bfloat16))
+                l_next = alpha * l_prev + jnp.sum(
+                    p, axis=1, keepdims=True, dtype=jnp.float32)
+            else:
+                p = jnp.exp2(s - m_next)
+                l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+            l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, pl.ds(col, block_kv), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(v_ref.dtype),
+            )
+            acc_ref[...] = acc_ref[...] * alpha + pv
+            return carry
+
+        start = seg_ref[qi, 0]
+        i0 = seg_ref[qi, 1]
+        i1 = seg_ref[qi, 2]
+        end = seg_ref[qi, 3]
+        jax.lax.fori_loop(start, i0, functools.partial(body, masked=True), 0)
+        jax.lax.fori_loop(i0, i1, functools.partial(body, masked=False), 0)
+        jax.lax.fori_loop(i1, end, functools.partial(body, masked=True), 0)
+
+        l_col = l_scratch[:, :1]
+        m_col = m_scratch[:, :1]
+        dead = m_col <= NEG_INF_F32
+        l_col = jnp.where(dead, 0.0, l_col)
+        l_safe = jnp.where(l_col == 0.0, 1.0, l_col)
+        o = acc_ref[...] / l_safe
+        o = jnp.where(dead, 0.0, o)
+        o_ref[0, pl.ds(row, block_q), :] = o.astype(o_ref.dtype)
+        m_pub = jnp.where(dead, NEG_INF_F32, m_col * jnp.float32(INV_LOG2E))
+        stats_ref[0, pl.ds(row, block_q), :] = jnp.concatenate(
+            [l_col, m_pub,
+             jnp.zeros((block_q, STATS_LANES - 2), jnp.float32)],
+            axis=1,
+        )
+        return carry
+
+    jax.lax.fori_loop(0, n_q, qblock, 0)
+
+
+def resident_forward(
+    qp: jax.Array,       # (B, q_pad, d_pad) pre-scaled, padded
+    kp: jax.Array,       # (B_kv, k_pad, d_pad) padded
+    vp: jax.Array,       # (B_kv, k_pad, v_d_pad) padded
+    seg: np.ndarray,     # (n_q, 4) int32 band segments
+    *,
+    pack: SyncPack,
+    rule: MaskRule,
+    q_len: int,
+    k_len: int,
+    block_q: int,
+    block_kv: int,
+    fast_softmax: bool,
+    cost: Optional[pl.CostEstimate],
+    interpret: bool = False,
+    delta=None,
+):
+    """Run the fully-resident kernel on pre-padded/pre-scaled tensors.
+
+    Same contract as ``banded_forward``; grid is (B,) with whole-row
+    operand windows.
+    """
+    B, q_pad, d_pad = qp.shape
+    B_kv, k_pad, v_d_pad = vp.shape
+    g = B // B_kv
+
+    kernel = functools.partial(
+        _resident_kernel,
+        pack=pack, rule=rule, q_len=q_len, k_len=k_len,
+        q_len_padded=q_pad, k_len_padded=k_pad,
+        block_q=block_q, block_kv=block_kv, fast_softmax=fast_softmax,
+        delta_mask=delta is not None,
+    )
+    row_map = lambda b, *p: (b, 0, 0)
+    kv_map = lambda b, *p: (b // g, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, q_pad, d_pad), row_map),
+        pl.BlockSpec((1, k_pad, d_pad), kv_map),
+        pl.BlockSpec((1, k_pad, v_d_pad), kv_map),
+    ]
+    inputs = [qp, kp, vp]
+    num_prefetch = 1
+    prefetch = [jnp.asarray(seg)]
+    if delta is not None:
+        slots, masks = delta
+        num_prefetch = 2
+        prefetch.append(jnp.asarray(slots))
+        in_specs.append(pl.BlockSpec(
+            (masks.shape[0], block_q, block_kv), lambda b, *p: (0, 0, 0)))
+        inputs.append(jnp.asarray(masks))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=num_prefetch,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, q_pad, v_d_pad), row_map),
+            pl.BlockSpec((1, q_pad, STATS_LANES), row_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, v_d_pad), jnp.float32),
+            pltpu.VMEM((block_q, _stats_lanes()), jnp.float32),
+            pltpu.VMEM((block_q, _stats_lanes()), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, q_pad, v_d_pad), qp.dtype),
+            jax.ShapeDtypeStruct((B, q_pad, STATS_LANES), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*prefetch, *inputs)
+
+
 def banded_forward(
     qp: jax.Array,       # (B, q_pad, d_pad) pre-scaled, padded
     kp: jax.Array,       # (B_kv, k_pad, d_pad) padded

@@ -172,3 +172,75 @@ class TestParity:
                                        (16, 16), jnp.float32, bq=128)
         _assert_close(got_big, want, jnp.float32)
         _assert_close(got_small, want, jnp.float32)
+
+
+from tf_flash_attention_tpu.schedule import window_band_table_t  # noqa: E402
+
+
+class TestWindowBackward:
+    """The fused single-window backward (ops/backward._fused_window_kernel)."""
+
+    def _grads_both(self, rule, mode, qshp, kshp, dtype, gqa=1,
+                    dkv=(256, 256), seed=0):
+        from tf_flash_attention_tpu.ops.backward import flash_backward
+        from tf_flash_attention_tpu.ops.forward import flash_forward
+
+        Lq, Lk = int(np.prod(qshp)), int(np.prod(kshp))
+        pk = make_sync_pack(mode, qshp, kshp)
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.uniform(-1, 1, (2 * gqa, Lq, 32)), dtype)
+        k = jnp.asarray(rng.uniform(-1, 1, (2, Lk, 32)), dtype)
+        v = jnp.asarray(rng.uniform(-1, 1, (2, Lk, 48)), dtype)
+        do = jnp.asarray(rng.uniform(-1, 1, (2 * gqa, Lq, 48)), dtype)
+        cfg = BlockConfig(128, 128, 128, 128, dkv[0], dkv[1])
+        os.environ["FA_WINDOW"] = "0"
+        try:
+            o, l, m = flash_forward(q, k, v, pack=pk, rule=rule, config=cfg,
+                                    interpret=True)
+            os.environ["FA_WINDOW_BWD"] = "1"
+            got = flash_backward(q, k, v, o, l, m, do, pack=pk, rule=rule,
+                                 config=cfg, fused=True, interpret=True)
+            os.environ["FA_WINDOW_BWD"] = "0"
+            want = flash_backward(q, k, v, o, l, m, do, pack=pk, rule=rule,
+                                  config=cfg, fused=True, interpret=True)
+        finally:
+            os.environ.pop("FA_WINDOW_BWD", None)
+            os.environ.pop("FA_WINDOW", None)
+        return got, want
+
+    def _close(self, got, want, dtype):
+        tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+        for name, a, b in zip("QKV", got, want):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=tol, atol=tol, err_msg=f"d{name}")
+
+    def test_eligibility_transposed(self):
+        pk = make_sync_pack("none_front", (64, 64), (64, 64))
+        wt = window_band_table_t(pk, W8, 256, 4096, 4096, 4096, 4096)
+        assert wt is not None
+        starts, W, slots, masks = wt
+        assert starts.shape == (16,) and W % 128 == 0
+        assert masks is not None and masks.shape[1:] == (W, 256)
+        # causal 1d refuses (wide-variance q bands)
+        pk1 = make_sync_pack("none_front", (4096,), (4096,))
+        assert window_band_table_t(pk1, CausalRule(), 256,
+                                   4096, 4096, 4096, 4096) is None
+
+    @pytest.mark.parametrize("mode", ["none_front", "scale_end"])
+    def test_local_2d(self, mode):
+        got, want = self._grads_both(W8, mode, (16, 16), (16, 16),
+                                     jnp.float32)
+        self._close(got, want, jnp.float32)
+
+    def test_gqa_and_strided(self):
+        rule = LocalRule(window_size=4, log2_stride_size=1, is_causal=True)
+        got, want = self._grads_both(rule, "none_front", (16, 16), (16, 16),
+                                     jnp.bfloat16, gqa=2)
+        self._close(got, want, jnp.bfloat16)
+
+    def test_1d_odd_lengths(self):
+        rule = LocalRule(window_size=64, log2_stride_size=0, is_causal=True)
+        got, want = self._grads_both(rule, "none_front", (777,), (513,),
+                                     jnp.float32)
+        self._close(got, want, jnp.float32)

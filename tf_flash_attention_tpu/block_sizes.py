@@ -119,6 +119,12 @@ _DQ_PREF = [(1024, 512), (1024, 1024), (512, 512)]
 # 70 useful at (1024, 512) vs 144 at (512, 512)), hence the split lists.
 _DKV_PREF = [(1024, 512), (512, 512), (512, 1024)]
 _DKV_PREF_GROUPED = [(512, 512), (512, 1024), (1024, 1024)]
+# Narrow-band (window-eligible) rules: the fused banded backward walks
+# only the live q segments per kv block, so small q blocks cut the
+# block-granularity band waste — measured on the 2d w=8 bench case
+# (same window, mxu_ref 186): (256,512) 66.9 useful T128 > (512,512)
+# 63.2 > (1024,512) 50.0 (the causal default).  docs/TUNING.md round 5.
+_DKV_PREF_NARROW = [(256, 512), (512, 512), (256, 256)]
 
 
 #: Measured per-scheduled-FLOP wall-time factors relative to (1024, 1024),
@@ -271,6 +277,7 @@ def choose_block_config(
         wq = _window_blocks(pack, rule, q_len, k_len, q_cap, fk)
         if wq is not None:
             fq = wq
+            dkv_q, dkv_k = solve(_bwd_vmem_bytes, _DKV_PREF_NARROW)
     return BlockConfig(
         block_q=fq, block_kv=fk,
         block_q_dq=dq_q, block_kv_dq=dq_k,

@@ -374,6 +374,86 @@ def _fused_kernel(
         dq_ref[...] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
 
 
+def _fused_window_kernel(
+    starts_ref, slots_ref,
+    k_ref, v_ref, q_ref, do_ref, stats_ref, masks_ref,
+    dk_ref, dv_ref, dq_ref,
+    dq_acc,
+    *,
+    scale, W, sub_kv, num_kv_blocks, kv_group, fast_softmax,
+):
+    """Fused single-window backward for narrow-band rules (round 5).
+
+    The backward twin of ``forward_banded._window_kernel``: each kv
+    sub-block's live q set is one contiguous ``W``-wide band at a
+    dynamic lane-aligned start (``schedule.window_band_table_t``), so
+    the whole 5-GEMM tile chain (P recompute, dV, dP, dK, dQ) runs ONCE
+    per kv sub-block over exactly the live band — no q-step loop, no
+    block-granularity band waste (measured 50-67 useful T128 on the 2d
+    w=8 case for the banded/table kernels vs ~100+ for this shape).
+    The grid kv block unrolls ``rk = block_kv // sub_kv`` independent
+    sub-chains so one sub-chain's MXU overlaps another's VPU (the same
+    measured win as the forward window kernel's q sub-blocks).
+
+    q arrives pre-scaled (P recompute), k unscaled; dK is descaled by
+    1/log2e and dQ scaled by ``scale`` at finalize, exactly as
+    ``_fused_kernel``.  dQ accumulates into the whole-sequence fp32
+    VMEM scratch with dynamic-slice read-modify-writes (overlapping
+    bands of consecutive kv sub-blocks serialise only the adds).
+    """
+    ki = pl.program_id(1)
+    block_kv = k_ref.shape[1]
+    rk = block_kv // sub_kv
+
+    @pl.when(ki == 0)
+    def _init_dq():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    for j in range(rk):
+        sub = ki * rk + j
+        start = pl.multiple_of(starts_ref[sub], LANE)
+        mask = masks_ref[slots_ref[sub]] != 0
+        k_sub = k_ref[0, j * sub_kv:(j + 1) * sub_kv, :]
+        v_sub = v_ref[0, j * sub_kv:(j + 1) * sub_kv, :]
+        dk_val = jnp.zeros((sub_kv, k_ref.shape[2]), jnp.float32)
+        dv_val = jnp.zeros((sub_kv, v_ref.shape[2]), jnp.float32)
+        for mem in range(kv_group):
+            q_band = q_ref[mem, pl.ds(start, W), :]
+            do_band = do_ref[mem, pl.ds(start, W), :]
+            stats = stats_ref[mem, pl.ds(start, W), :]
+            lse2_row = stats[:, 0:1]
+            delta_row = stats[:, 1:2]
+            p = _recompute_p(q_band, k_sub, lse2_row, mask, fast_softmax)
+            dv_val += jax.lax.dot_general(
+                p.astype(do_ref.dtype), do_band, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(do_ref.dtype),
+            )
+            dp = jax.lax.dot_general(
+                do_band, v_sub, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(v_ref.dtype),
+            )
+            ds = p * (dp - delta_row)
+            dk_val += jax.lax.dot_general(
+                ds.astype(q_ref.dtype), q_band, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q_ref.dtype),
+            )
+            dq_acc[mem, pl.ds(start, W), :] += jax.lax.dot_general(
+                ds.astype(k_ref.dtype), k_sub, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(k_ref.dtype),
+            )
+        dk_ref[0, j * sub_kv:(j + 1) * sub_kv, :] = (
+            dk_val * jnp.float32(INV_LOG2E)).astype(dk_ref.dtype)
+        dv_ref[0, j * sub_kv:(j + 1) * sub_kv, :] = dv_val.astype(dv_ref.dtype)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _fin_dq():
+        dq_ref[...] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
+
+
 def _fused_banded_kernel(
     seg_ref,
     k_ref, v_ref, q_ref, do_ref, stats_ref,
@@ -739,6 +819,80 @@ def flash_backward(
                               * jnp.dtype(in_dtype).itemsize + 4 * STATS_LANES)
             <= 28 * 1024 * 1024
         )
+        # Single-window fast path (round 5): narrow-band rules run the
+        # whole 5-GEMM chain once per kv sub-block over a dynamic-start
+        # contiguous q band — the backward twin of the forward window
+        # kernel (see _fused_window_kernel).
+        if resident and _os.environ.get("FA_WINDOW_BWD", "1") != "0":
+            from ..schedule import window_band_table_t
+            cands = []
+            for sk in (512, 256, 128):
+                if sk > block_kvf or block_kvf % sk:
+                    continue
+                wt_c = window_band_table_t(pack, rule, sk, q_len, k_len,
+                                           q_padf, k_padf)
+                if wt_c is not None:
+                    cands.append((sk, wt_c, k_padf * wt_c[1]))
+            if cands:
+                amin = min(a for _, _, a in cands)
+                sub_kv, wt_t, _ = next(c for c in cands
+                                       if c[2] <= 1.30 * amin)
+                starts_t, Wq, slots_t, masks_t = wt_t
+                grid_bkv = block_kvf
+                while grid_bkv > sub_kv and grid_bkv * Wq * 4 > 8 << 20:
+                    grid_bkv //= 2
+                n_kv = k_padf // grid_bkv
+                wkernel = functools.partial(
+                    _fused_window_kernel, scale=scale, W=Wq,
+                    sub_kv=sub_kv, num_kv_blocks=n_kv, kv_group=g,
+                    fast_softmax=fast_softmax)
+                kv_idx = lambda b, ki, *p: (b, ki, 0)
+                qres_idx = lambda b, ki, *p: (b, 0, 0)
+                dk, dv, dq = pl.pallas_call(
+                    wkernel,
+                    grid_spec=pltpu.PrefetchScalarGridSpec(
+                        num_scalar_prefetch=2,
+                        grid=(B_kv, n_kv),
+                        in_specs=[
+                            pl.BlockSpec((1, grid_bkv, d_pad), kv_idx),
+                            pl.BlockSpec((1, grid_bkv, v_d_pad), kv_idx),
+                            pl.BlockSpec((g, q_padf, d_pad), qres_idx),
+                            pl.BlockSpec((g, q_padf, v_d_pad), qres_idx),
+                            pl.BlockSpec((g, q_padf, STATS_LANES), qres_idx),
+                            pl.BlockSpec((masks_t.shape[0], Wq, sub_kv),
+                                         lambda b, ki, *p: (0, 0, 0)),
+                        ],
+                        out_specs=[
+                            pl.BlockSpec((1, grid_bkv, d_pad), kv_idx),
+                            pl.BlockSpec((1, grid_bkv, v_d_pad), kv_idx),
+                            pl.BlockSpec((g, q_padf, d_pad), qres_idx),
+                        ],
+                        scratch_shapes=[
+                            pltpu.VMEM((g, q_padf, d_pad), jnp.float32),
+                        ],
+                    ),
+                    out_shape=[
+                        jax.ShapeDtypeStruct((B_kv, k_padf, d_pad), in_dtype),
+                        jax.ShapeDtypeStruct((B_kv, k_padf, v_d_pad),
+                                             in_dtype),
+                        jax.ShapeDtypeStruct((B, q_padf, d_pad), in_dtype),
+                    ],
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("parallel", "arbitrary"),
+                        vmem_limit_bytes=VMEM_LIMIT,
+                    ),
+                    interpret=interpret,
+                )(jnp.asarray(starts_t), jnp.asarray(slots_t),
+                  padded(k, k_padf, d_pad), padded(v, k_padf, v_d_pad),
+                  padded(q, q_padf, d_pad, prescale=True),
+                  padded(do, q_padf, v_d_pad), padded(stats, q_padf),
+                  jnp.asarray(masks_t))
+                return (
+                    dq[:, :q_len, :d],
+                    dk[:, :k_len, :d],
+                    dv[:, :k_len, :v_d],
+                )
+
         # Banded fast path (round 5): when the transposed schedule is one
         # contiguous band per kv row and q/dO/stats ride resident, the
         # q-step grid axis becomes in-kernel fori_loops over the segment

@@ -34,7 +34,8 @@ from .mask_rules import MaskRule
 from .sync_modes import SyncPack, SeqDescriptor, flatten_orders, order_coords
 
 __all__ = ["Schedule", "build_schedule", "delta_mask_table",
-           "window_band_table", "sequence_orders", "tile_order_bounds"]
+           "window_band_table", "window_band_table_t",
+           "sequence_orders", "tile_order_bounds"]
 
 
 def sequence_orders(pack_desc: SeqDescriptor, reference_shape) -> Tuple[np.ndarray, np.ndarray]:
@@ -448,6 +449,106 @@ def window_band_table(pack: SyncPack, rule: MaskRule, block_q: int,
         slots[r] = slot
     if not any_masked:
         return starts, W, None, None
+    return starts, W, slots, np.stack(masks).astype(np.int8)
+
+
+@functools.lru_cache(maxsize=128)
+def window_band_table_t(pack: SyncPack, rule: MaskRule, block_kv: int,
+                        q_len: int, k_len: int, q_pad: int, k_pad: int,
+                        lane: int = 128, max_waste: float = 1.35,
+                        scores_budget: int = 8 << 20,
+                        max_masks: int = 8, mask_bytes: int = 4 << 20):
+    """Transposed single-window schedule: per-KV-block contiguous Q band.
+
+    The backward twin of ``window_band_table`` (kv-outer kernels walk q
+    bands per kv block): returns ``(starts, W, slots, masks)`` with
+    ``starts: (n_kv,) int32`` lane-aligned first live *q* column per kv
+    sub-block, ``W`` the static q-band width, and deduplicated masks of
+    shape ``(n, W, block_kv)`` oriented (q rows, kv cols) to apply
+    directly to the recomputed ``P`` tile.  Same eligibility rules
+    (contiguity at lane granularity, waste priced against the 128x128
+    fine schedule, mask dedup budget); refuses full rules and wide-
+    variance bands.  Unlike the forward table a ``(None, None)`` mask
+    pair is never returned — kv-outer consumers always mask (padding
+    q rows inside the band would otherwise recompute garbage P).
+    """
+    if rule.is_full:
+        return None
+    sched = build_schedule(pack, rule, lane, block_kv)
+    live = sched.live.T  # (ceil(k_len / block_kv), ceil(q_len / lane))
+    n_kv = k_pad // block_kv
+    starts_b = np.zeros(n_kv, np.int32)
+    width_max = 0
+    live_rows = 0
+    for r in range(min(n_kv, live.shape[0])):
+        idx = np.flatnonzero(live[r])
+        if idx.size == 0:
+            continue
+        lo, hi = int(idx[0]), int(idx[-1]) + 1
+        if idx.size != hi - lo:
+            return None
+        starts_b[r] = lo
+        width_max = max(width_max, hi - lo)
+        live_rows += 1
+    if width_max == 0:
+        return None
+    fine = build_schedule(pack, rule, lane, lane)
+    priced_area = int(fine.live.sum()) * lane * lane
+    sched_area = live_rows * block_kv * width_max * lane
+    if priced_area == 0 or sched_area > max_waste * priced_area:
+        return None
+    if block_kv * width_max * lane * 4 > scores_budget:
+        return None
+    W = width_max * lane
+    starts_b = np.minimum(starts_b, q_pad // lane - width_max)
+    starts = (starts_b * lane).astype(np.int32)
+
+    q_coords, q_flat = sequence_orders(pack.q, pack.reference_shape)
+    k_coords, k_flat = sequence_orders(pack.k, pack.reference_shape)
+
+    def pad_tail(arr, length):
+        if arr.shape[-1] >= length:
+            return arr
+        reps = length - arr.shape[-1]
+        return np.concatenate([arr, np.repeat(arr[..., -1:], reps, -1)], -1)
+
+    q_coords = [pad_tail(c, q_pad) for c in q_coords]
+    k_coords = [pad_tail(c, k_pad) for c in k_coords]
+    q_flat = pad_tail(q_flat, q_pad)
+    k_flat = pad_tail(k_flat, k_pad)
+
+    slots = np.zeros(n_kv, np.int32)
+    masks = []
+    index = {}
+    for r in range(n_kv):
+        dead = (r >= live.shape[0] or not live[r].any())
+        qs = slice(int(starts[r]), int(starts[r]) + W)
+        ks = slice(r * block_kv, (r + 1) * block_kv)
+        if dead:
+            m = np.zeros((W, block_kv), bool)
+        else:
+            m = rule.check(
+                pack,
+                [c[qs][:, None] for c in q_coords],
+                [c[ks][None, :] for c in k_coords],
+                q_flat[qs][:, None],
+                k_flat[ks][None, :],
+            )
+            m = np.broadcast_to(np.asarray(m, bool), (W, block_kv)).copy()
+            if q_pad > q_len:
+                kept = max(0, q_len - int(starts[r]))
+                m[kept:, :] = False
+            if k_pad > k_len:
+                m[:, max(0, k_len - r * block_kv):] = False
+        key = m.tobytes()
+        slot = index.get(key)
+        if slot is None:
+            if len(masks) >= max_masks or \
+                    (len(masks) + 1) * W * block_kv > mask_bytes:
+                return None
+            slot = index[key] = len(masks)
+            masks.append(m)
+        slots[r] = slot
     return starts, W, slots, np.stack(masks).astype(np.int8)
 
 

@@ -237,21 +237,29 @@ def main():
     S32, B32 = 32768, 1
     long_shapes = []
     if not _skip("long_seq"):
-        # S=32k runs both frontier configs: (1024, 1024) (the round-4
-        # pick) and (1024, 2048) (wins the round-5 ChainTimer re-rank,
-        # tools/exp_longseq_r5.py: 147.3 vs 138.2 T128 degraded-state);
-        # the headline takes the best row per window either way.
+        # Portfolio: the shapes/configs that win different chip states
+        # (the headline takes the best row per window).  S=32k runs both
+        # frontier configs ((1024,1024) = round-4 pick; (1024,2048) wins
+        # the round-5 ChainTimer re-rank in some windows); S=64k B=1 is
+        # the top of BASELINE's seq range and measures the best
+        # degraded-state numbers of round 5 (151.0 T128 at (2048,1024),
+        # mxu_ref 182 — the causal live fraction amortises best at max
+        # sequence).
         long_shapes = [(S16, B16, cfg_1k),
                        (S32, B32, cfg_1k),
                        (S32, B32, BlockConfig(1024, 2048, 1024, 1024,
-                                              1024, 1024))]
+                                              1024, 1024)),
+                       (65536, 1, BlockConfig(2048, 1024, 1024, 1024,
+                                              1024, 1024)),
+                       (65536, 1, cfg_1k)]
     for (S2, B2, cfg2) in long_shapes:
         q2, k2, v2 = t((B2, S2, D)), t((B2, S2, D)), t((B2, S2, D))
         pack2 = make_sync_pack("none_front", (S2,), (S2,))
         fn2 = lambda q, k, v, p2=pack2, c2=cfg2: flash_forward(
             q, k, v, pack=p2, rule=rule, config=c2)[0]
-        suite_timers[f"fwd_S{S2}_B{B2}_k{cfg2.block_kv}"] = {
-            "timer": ChainTimer(fn2, (q2, k2, v2), n=48),
+        suite_timers[f"fwd_S{S2}_B{B2}_k{cfg2.block_q}x{cfg2.block_kv}"] = {
+            "timer": ChainTimer(fn2, (q2, k2, v2),
+                                n=12 if S2 * B2 > 40000 else 48),
             "flops_128": matmul_flops_forward(
                 rule, "none_front", (S2,), (S2,), D, D, B2),
             "flops_sched": matmul_flops_forward(
@@ -366,6 +374,25 @@ def main():
                              "mxu_ref_tflops": wtag["mxu_ref_tflops"]})
                 log(f"2d {nm}: median {med*1e3:.4f} ms = "
                     f"{twod[-1]['tflops_128']} TFLOP/s (128-priced)")
+                if "local" in nm:
+                    # round-5 window backward (useful-FLOPs pricing)
+                    from tf_flash_attention_tpu.flops import (
+                        matmul_flops_backward)
+                    fB = matmul_flops_backward(rule2, "none_front", shp,
+                                               shp, D, D, B)
+                    o2, l2, m2 = jax.block_until_ready(jax.jit(
+                        lambda q, k, v: flash_forward(
+                            q, k, v, pack=pk, rule=rule2,
+                            config=cfg2))(qq, kk, vv))
+                    fnb = lambda *a: flash_backward(
+                        *a, pack=pk, rule=rule2, config=cfg2, fused=True)
+                    medb = statistics.median(ChainTimer(
+                        fnb, (qq, kk, vv, o2, l2, m2, kk), n=40).sample(5))
+                    twod[-1]["bwd_ms_median"] = round(medb * 1e3, 4)
+                    twod[-1]["bwd_tflops_useful"] = round(
+                        fB / medb / 1e12, 1)
+                    log(f"2d {nm} bwd: median {medb*1e3:.4f} ms = "
+                        f"{twod[-1]['bwd_tflops_useful']} useful TFLOP/s")
             except Exception as e:  # pragma: no cover
                 log(f"twod {nm} FAILED {str(e)[:120]}")
         if twod:

@@ -245,12 +245,17 @@ def main():
         # degraded-state numbers of round 5 (151.0 T128 at (2048,1024),
         # mxu_ref 182 — the causal live fraction amortises best at max
         # sequence).
+        # (2048,2048)+qc512 = the table kernel with two independent
+        # 512-row sub-chains per step: the round-5 degraded-state winner
+        # at 32k (+7%) and 64k (+5%) over the banded (1024,1024)
+        # (docs/TUNING.md round 5); (1024,1024) banded stays in the
+        # portfolio as the fast-state pick.
+        cfg_qc = BlockConfig(2048, 2048, 1024, 1024, 1024, 1024,
+                             None, 512)
         long_shapes = [(S16, B16, cfg_1k),
                        (S32, B32, cfg_1k),
-                       (S32, B32, BlockConfig(1024, 2048, 1024, 1024,
-                                              1024, 1024)),
-                       (65536, 1, BlockConfig(2048, 1024, 1024, 1024,
-                                              1024, 1024)),
+                       (S32, B32, cfg_qc),
+                       (65536, 1, cfg_qc),
                        (65536, 1, cfg_1k)]
     for (S2, B2, cfg2) in long_shapes:
         q2, k2, v2 = t((B2, S2, D)), t((B2, S2, D)), t((B2, S2, D))

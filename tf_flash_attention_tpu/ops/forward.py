@@ -357,7 +357,14 @@ def flash_forward(
         k_pad * (d_pad + v_d_pad) * jnp.dtype(in_dtype).itemsize
         <= RESIDENT_KV_BUDGET
     )
-    if (not sub_skip and resident_ok
+    # An explicit compute sub-tiling request (q_compute/kv_compute finer
+    # than the blocks) selects the table kernel — the only one that
+    # implements sub-chained compute.  Measured use: (2048,2048) qc512
+    # is the best degraded-state S=64k causal config (docs/TUNING.md
+    # round 5); default configs leave compute = None and route normally.
+    explicit_sub = (q_compute != block_q) or (kv_compute != block_kv)
+
+    if (not sub_skip and not explicit_sub and resident_ok
             and os.environ.get("FA_WINDOW", "1") != "0"):
         from ..schedule import window_band_table
         # Sub-block choice: smaller sub_q sees a narrower band (less
@@ -411,6 +418,7 @@ def flash_forward(
     # strided-local schedules and very long sequences.
     use_banded = (
         not sub_skip
+        and not explicit_sub
         and os.environ.get("FA_BANDED", "1") != "0"
         and resident_ok
     )

@@ -174,6 +174,28 @@ class TestParity:
         _assert_close(got_small, want, jnp.float32)
 
 
+def test_explicit_compute_subtiling_routes_to_table_kernel():
+    """A q_compute/kv_compute request selects the table kernel (the only
+    one implementing sub-chained compute) and stays correct — the
+    (2048,2048)+qc512 degraded-state frontier config relies on this
+    (docs/TUNING.md round 5)."""
+    rng = np.random.default_rng(5)
+    L = 700
+    pk = make_sync_pack("none_front", (L,), (L,))
+    q = jnp.asarray(rng.uniform(-1, 1, (2, L, 32)), jnp.float32)
+    k = jnp.asarray(rng.uniform(-1, 1, (2, L, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1, 1, (2, L, 48)), jnp.float32)
+    sub = BlockConfig(256, 256, 128, 128, 128, 128, None, 128)
+    base = BlockConfig(256, 256, 128, 128, 128, 128)
+    got = flash_forward(q, k, v, pack=pk, rule=CausalRule(), config=sub,
+                        interpret=True)
+    want = flash_forward(q, k, v, pack=pk, rule=CausalRule(), config=base,
+                         interpret=True)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
 from tf_flash_attention_tpu.schedule import window_band_table_t  # noqa: E402
 
 

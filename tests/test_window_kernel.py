@@ -69,7 +69,7 @@ class TestEligibility:
         pk = make_sync_pack("none_front", (64, 64), (64, 64))
         cfg = choose_block_config(4096, 4096, 128, 128, jnp.bfloat16,
                                   pack=pk, rule=W8)
-        assert cfg.block_q == 512
+        assert cfg.block_q == 1024
 
     def test_mask_dedup_is_small(self):
         pk = make_sync_pack("none_front", (64, 64), (64, 64))

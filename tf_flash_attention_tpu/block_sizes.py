@@ -199,9 +199,10 @@ def _window_blocks(pack, rule, q_len, k_len, q_cap, bk):
     for sq in (512, 256, 128):
         if sq > q_cap:
             continue
-        # grid 512 measured ~= grid 1024 on the 2d w=8 case (85.8 vs
-        # 84.8 TFLOP/s-128) with half the unrolled-scores VMEM.
-        grid_bq = min(512, q_cap)
+        # Interleaved-pair A/B on the 2d w=8 case (same window): grid
+        # 1024 0.1242 ms > 2048 0.1326 > 512 0.1446 — the earlier
+        # "512 ~= 1024" read was cross-config window drift.
+        grid_bq = min(1024, q_cap)
         if window_band_table(pack, rule, sq, q_len, k_len,
                              pad_to(q_len, grid_bq), k_pad) is not None:
             return grid_bq
